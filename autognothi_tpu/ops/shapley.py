@@ -1,0 +1,137 @@
+"""Shapley estimation math, fully on-device.
+
+Numerical-parity notes (see /root/reference/models/shapley.py):
+
+- `mask_shapley` samples coalition sizes from the Shapley kernel distribution
+  p(k) proportional to 1/(k(n-k)) for k in 1..n-1, thresholds uniform noise at
+  k/n, and pairs every mask with its complement (requires even n_mask_samples)
+  for variance reduction (:56-79).  Unlike the reference (CPU numpy + host to
+  device copy every step) masks are generated on-device from a `jax.random`
+  key so the explainer train step is one fused XLA program.
+- `loss_shapley` is the vit-shapley weighted regression objective
+  `n_players * MSE(null + mask @ phi^T, v_s)` (:9-53).
+- `loss_logits_kl_divergence` deliberately reproduces the reference's
+  argument orientation `kl_div(input=log_softmax(ref), target=softmax(cur))`
+  (:96-106) — i.e. KL(current || ref) with batchmean reduction — because that
+  exact (mis)orientation is observable training behavior.
+- `normalize_shapley_explanation` is the additive efficiency projection
+  (:82-93); note it runs on the *token* axis including CLS, as the callers do.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "shapley_kernel_probs",
+    "mask_shapley",
+    "loss_shapley",
+    "normalize_shapley_explanation",
+    "loss_logits_kl_divergence",
+    "mask_purely_uniform",
+    "mask_uniform_selective",
+]
+
+
+def shapley_kernel_probs(n_players: int) -> jnp.ndarray:
+    """p(k) ~ 1/(k(n-k)) over coalition sizes k = 1..n-1, normalized."""
+    k = jnp.arange(1, n_players, dtype=jnp.float32)
+    probs = 1.0 / (k * (n_players - k))
+    return probs / probs.sum()
+
+
+def mask_shapley(
+    key: jax.Array, n_mask_samples: int, n_players: int, paired: bool = True
+) -> jnp.ndarray:
+    """Sample <n_mask_samples, n_players> coalition masks (int32 of 0/1).
+
+    With `paired=True` (the training default), half the samples are drawn and
+    each is interleaved with its complement: [m0, ~m0, m1, ~m1, ...].
+    """
+    if paired:
+        if n_mask_samples % 2 != 0:
+            raise ValueError("paired sampling requires even n_mask_samples")
+        n_draw = n_mask_samples // 2
+    else:
+        n_draw = n_mask_samples
+
+    k_noise, k_size = jax.random.split(key)
+    probs = shapley_kernel_probs(n_players)
+    # coalition-size index in [0, n_players-2]; threshold at idx / n_players
+    size_idx = jax.random.choice(
+        k_size, n_players - 1, shape=(n_draw, 1), p=probs
+    ).astype(jnp.float32)
+    noise = jax.random.uniform(k_noise, (n_draw, n_players))
+    masks = (noise > size_idx / n_players).astype(jnp.int32)
+
+    if paired:
+        masks = jnp.stack([masks, 1 - masks], axis=1).reshape(
+            n_draw * 2, n_players
+        )
+    return masks
+
+
+def loss_shapley(
+    mask: jnp.ndarray,  # <batch, n_mask_samples, n_players>
+    v_0: jnp.ndarray,  # <1, n_classes>  surrogate on null input
+    v_s: jnp.ndarray,  # <batch * n_mask_samples, n_classes> masked values
+    v_1: jnp.ndarray,  # <batch, n_classes>  grand coalition (unused, kept for parity)
+    phi: jnp.ndarray,  # <batch, n_classes, n_players> attributions
+) -> jnp.ndarray:
+    """FastSHAP-style weighted regression: n_players * MSE(v0 + mask.phi, v_s)."""
+    del v_1
+    batch, n_mask_samples, n_players = mask.shape
+    values_pred = jnp.swapaxes(phi, 1, 2)  # <batch, n_players, n_classes>
+    approx = v_0.reshape(1, 1, -1) + jnp.einsum(
+        "bmp,bpc->bmc", mask.astype(values_pred.dtype), values_pred
+    )
+    approx = approx.reshape(batch * n_mask_samples, -1)
+    return n_players * jnp.mean((approx - v_s) ** 2)
+
+
+def normalize_shapley_explanation(
+    pred: jnp.ndarray,  # <batch, n_tokens, n_classes>
+    grand: jnp.ndarray,  # <batch, n_classes>
+    null: jnp.ndarray,  # <1, n_classes>
+) -> jnp.ndarray:
+    """Additive efficiency projection: shift each column so per-class sums
+    equal grand - null."""
+    n_tokens = pred.shape[1]
+    grand = grand[:, None, :]
+    null = null.reshape(1, 1, -1)
+    diff = (grand - null) - jnp.sum(pred, axis=1, keepdims=True)
+    return pred + diff / n_tokens
+
+
+def loss_logits_kl_divergence(ref: jnp.ndarray, current: jnp.ndarray) -> jnp.ndarray:
+    """Reference-oriented KL distillation loss (batchmean).
+
+    Equals torch.nn.functional.kl_div(input=log_softmax(ref),
+    target=softmax(current), reduction="batchmean") =
+    mean_b sum_c p_cur(c) * (log p_cur(c) - log p_ref(c)).
+    """
+    log_p_ref = jax.nn.log_softmax(ref, axis=-1)
+    p_cur = jax.nn.softmax(current, axis=-1)
+    log_p_cur = jax.nn.log_softmax(current, axis=-1)
+    per_item = jnp.sum(p_cur * (log_p_cur - log_p_ref), axis=-1)
+    return jnp.mean(per_item)
+
+
+def mask_purely_uniform(
+    key: jax.Array, batch_size: int, n_features: int
+) -> jnp.ndarray:
+    """Random masks whose masked-out count is ~uniform over [0, n]."""
+    k_a, k_b = jax.random.split(key)
+    noise = jax.random.uniform(k_a, (batch_size, n_features))
+    threshold = jax.random.uniform(k_b, (batch_size, 1))
+    return (noise > threshold).astype(jnp.int32)
+
+
+def mask_uniform_selective(
+    key: jax.Array, batch_size: int, n_features: int, n_masked: int
+) -> jnp.ndarray:
+    """Masks with exactly `n_masked` zeros per row, positions uniform."""
+    noise = jax.random.uniform(key, (batch_size, n_features))
+    ranks = jnp.argsort(jnp.argsort(noise, axis=-1), axis=-1)
+    return (ranks >= n_masked).astype(jnp.int32)
