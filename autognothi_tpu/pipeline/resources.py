@@ -1,0 +1,207 @@
+"""Recipe registry, dataset dispatch and checkpoint I/O.
+
+Checkpoints: one `.ckpt` file per (section, epoch) named
+`{section}-epoch-{e}.ckpt` exactly like the reference (/root/reference/
+scripts/resources.py:195-209), but the payload is an `.npz` of the flat
+param dict (torch-free, memory-mappable).  Retention keeps epoch 0, the
+final epoch, and epochs matching the `ckpt_when` cadence DSL; the previous
+non-matching epoch is deleted after each save (resources.py:189-217).
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import (
+    CvTransformResize,
+    CvTransforms,
+    DatasetLoader,
+    load_cv_samples,
+    load_imagenette,
+    load_nlp_samples,
+    load_yelp_polarity,
+    load_yelp_polarity_mini,
+)
+from ..recipes.types import ModelRecipe, Params
+from ..utils.seeding import guard_never
+from ..utils.strings import ranged_modulo_test
+from .config import Config_Dataset, Config_Train, ExpConfig
+
+
+def get_recipe(config: ExpConfig) -> Tuple[ModelRecipe, Any]:
+    kind = config.net.kind
+    if kind == "vanilla_vit":
+        from ..recipes.vanilla_vit import vanilla_vit_recipe
+
+        recipe = vanilla_vit_recipe()
+    elif kind == "vanilla_bert":
+        from ..recipes.vanilla_bert import vanilla_bert_recipe
+
+        recipe = vanilla_bert_recipe()
+    elif kind == "ltt_bert":
+        from ..recipes.ltt_bert import ltt_bert_recipe
+
+        recipe = ltt_bert_recipe()
+    elif kind == "ltt_vit":
+        from ..recipes.ltt_vit import ltt_vit_recipe
+
+        recipe = ltt_vit_recipe()
+    elif kind == "froyo_bert":
+        from ..recipes.froyo_bert import froyo_bert_recipe
+
+        recipe = froyo_bert_recipe()
+    elif kind == "froyo_vit":
+        from ..recipes.froyo_vit import froyo_vit_recipe
+
+        recipe = froyo_vit_recipe()
+    elif kind == "duo_vanilla_bert":
+        from ..recipes.duo_vanilla_bert import duo_vanilla_bert_recipe
+
+        recipe = duo_vanilla_bert_recipe()
+    elif kind == "duo_vanilla_vit":
+        from ..recipes.duo_vanilla_vit import duo_vanilla_vit_recipe
+
+        recipe = duo_vanilla_vit_recipe()
+    elif kind == "kernel_shap_bert":
+        from ..recipes.kernel_shap_bert import kernel_shap_bert_recipe
+
+        recipe = kernel_shap_bert_recipe()
+    else:
+        guard_never(kind)
+    if config.net.version != recipe.version:
+        raise ValueError(
+            f"mismatch recipe version: (config) {config.net.version} != "
+            f"(code) {recipe.version}"
+        )
+    return recipe, config.net.params
+
+
+def load_id_dataset(kind: str, img_px_size: Optional[int] = None) -> DatasetLoader:
+    if kind == "nlp_samples":
+        return load_nlp_samples()
+    if kind == "yelp_polarity_mini":
+        return load_yelp_polarity_mini()
+    if kind == "yelp_polarity":
+        return load_yelp_polarity(train_size=560000, test_size=38000, test_seed=42)
+    if kind == "imagenette":
+        assert img_px_size is not None
+        return load_imagenette(
+            train_size=9469, test_size=3925, test_seed=42,
+            transforms=CvTransforms(
+                resize=CvTransformResize(height=img_px_size, width=img_px_size)
+            ),
+        )
+    if kind == "cv_samples":
+        assert img_px_size is not None
+        return load_cv_samples(img_px_size=img_px_size)
+    raise ValueError(f"unknown dataset kind: {kind}")
+
+
+def load_cfg_dataset(cfg: Config_Dataset, root_dir: pathlib.Path) -> DatasetLoader:
+    if cfg.kind == "nlp_samples":
+        return load_nlp_samples()
+    if cfg.kind == "yelp_polarity_mini":
+        return load_yelp_polarity_mini()
+    if cfg.kind == "yelp_polarity":
+        return load_yelp_polarity(
+            train_size=cfg.train_size, test_size=cfg.test_size,
+            test_seed=cfg.test_seed,
+        )
+    if cfg.kind == "imagenette":
+        return load_imagenette(
+            train_size=cfg.train_size, test_size=cfg.test_size,
+            test_seed=cfg.test_seed, transforms=cfg.transforms,
+        )
+    if cfg.kind == "cv_samples":
+        return load_cv_samples(
+            train_size=cfg.train_size, test_size=cfg.test_size,
+            img_px_size=cfg.img_px_size, num_classes=cfg.num_classes,
+            seed=cfg.seed,
+        )
+    guard_never(cfg.kind)
+
+
+# --------------------------------------------------------- checkpoint I/O
+
+
+def _ckpt_path(path: pathlib.Path, section: str, epoch: int) -> pathlib.Path:
+    return path / f"{section}-epoch-{epoch}.ckpt"
+
+
+def save_params(file: pathlib.Path, params: Params) -> None:
+    arrays = {k: np.asarray(v) for k, v in params.items()}
+    with open(file, "wb") as f:
+        np.savez(f, **arrays)
+
+
+def load_params_file(file: pathlib.Path) -> Dict[str, np.ndarray]:
+    with np.load(file, allow_pickle=False) as data:
+        return {k: data[k] for k in data.files}
+
+
+def load_epoch_ckpt(
+    path: pathlib.Path, section: str, max_epochs: int, required: bool = False
+) -> Tuple[Optional[int], Optional[Dict[str, np.ndarray]]]:
+    """Scan epochs downward for the newest checkpoint (resources.py:150-168)."""
+    for epoch in range(max_epochs, -1, -1):
+        file = _ckpt_path(path, section, epoch)
+        if file.exists():
+            return epoch, load_params_file(file)
+    if required:
+        raise FileNotFoundError(f"no checkpoint found for '{section}' under '{path}'")
+    return None, None
+
+
+def get_epoch_ckpts(path: pathlib.Path, section: str, max_epochs: int) -> List[int]:
+    return [
+        e for e in range(max_epochs + 1) if _ckpt_path(path, section, e).exists()
+    ]
+
+
+def save_epoch_ckpt(
+    path: pathlib.Path,
+    section: str,
+    cfg: Config_Train,
+    epoch: int,
+    params: Params,
+) -> bool:
+    """Save; then delete the previous epoch's file unless retention keeps it."""
+
+    def should_keep(ep: int) -> bool:
+        return ep == 0 or ep == cfg.epochs or ranged_modulo_test(cfg.ckpt_when)(ep)
+
+    file = _ckpt_path(path, section, epoch)
+    if file.exists():
+        file.unlink()
+    save_params(file, params)
+
+    if not should_keep(epoch - 1):
+        prev = _ckpt_path(path, section, epoch - 1)
+        if prev.exists():
+            prev.unlink()
+    return True
+
+
+def load_epoch_model(
+    env, recipe: ModelRecipe, section: str
+) -> Tuple[int, Params]:
+    """Newest checkpointed params for a section, as device arrays."""
+    config: ExpConfig = env.config
+    if section == "classifier":
+        max_epochs = config.train_classifier.epochs
+    elif section == "surrogate":
+        max_epochs = config.train_surrogate.epochs
+    elif section == "explainer":
+        max_epochs = config.train_explainer.epochs
+    elif section == "final":
+        max_epochs = 0
+    else:
+        guard_never(section)
+    epoch, arrays = load_epoch_ckpt(env.model_path, section, max_epochs,
+                                    required=True)
+    params = {k: jnp.asarray(v) for k, v in arrays.items()}
+    return epoch, params

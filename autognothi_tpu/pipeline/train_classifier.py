@@ -1,0 +1,142 @@
+"""Classifier training stage (parity: /root/reference/scripts/
+train_classifier.py).  For vanilla recipes the black-box classifier is fully
+frozen so this stage is usually epochs=0; for LTT it trains side branches
+(progressively when EXPERIMENTAL_progressive_training is set); for
+`pretrain_classifier` the caller passes `unfreeze_all=True`."""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.shapley import mask_purely_uniform  # noqa: F401  (parity import)
+from ..utils.seeding import iterative_key, set_iterative_seed
+from .env import ExpEnv
+from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
+from .training import (
+    cosine_lr,
+    cross_entropy_on_probs,
+    filter_mask,
+    make_optimizer,
+    make_train_step,
+    ones_mask,
+)
+
+
+def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
+    env.log("[[[ train classifier ]]]")
+    config = env.config
+    recipe, m_config = get_recipe(config)
+    if not recipe.training.support_classifier:
+        env.log("[[[ skip: classifier cannot be trained ]]]")
+        return
+
+    d_loader = load_cfg_dataset(config.dataset, env.model_path)
+    m_misc = recipe.load_misc(env.model_path, m_config)
+    n_players = recipe.n_players(m_config)
+    gen_input = recipe.gen_input(m_config, m_misc)
+
+    epoch_start, params = load_epoch_model(env, recipe, "classifier")
+    if epoch_start >= config.train_classifier.epochs:
+        env.log("[[[ classifier already trained ]]]")
+        return
+
+    trainable = (
+        (lambda name: True) if unfreeze_all
+        else recipe.trainable(m_config, "classifier")
+    )
+    tx, opt_state = make_optimizer(params, trainable)
+
+    def loss_fn(p, xs, mask, labels, rng):
+        probs, _ = recipe.fw_classifier(
+            m_config, p, xs, mask, deterministic=False, rng=rng
+        )
+        loss = cross_entropy_on_probs(probs, labels)
+        return loss, probs
+
+    step = make_train_step(tx, loss_fn)
+    eval_fwd = jax.jit(
+        lambda p, xs, mask: recipe.fw_classifier(m_config, p, xs, mask)[0]
+    )
+
+    for epoch in range(epoch_start + 1, config.train_classifier.epochs + 1):
+        set_iterative_seed(config.seed, f"train_classifier[epoch={epoch}]")
+        rng = iterative_key(config.seed, f"train_classifier[epoch={epoch}]")
+        env.log(f"### epoch {epoch}")
+
+        update_mask = ones_mask(params)
+        if config.train_classifier.EXPERIMENTAL_progressive_training and \
+                recipe.progressive_trainable is not None:
+            unfrozen = min(math.ceil(epoch / 1), m_config.num_hidden_layers)
+            env.log(f"  > freeze side branches exc. first {unfrozen} layers")
+            update_mask = filter_mask(
+                params, recipe.progressive_trainable(m_config, "classifier", unfrozen)
+            )
+
+        lr = cosine_lr(config.train_classifier.lr, epoch,
+                       config.train_classifier.epochs)
+        ts_begin = time.time()
+
+        cls_loss, correct, total = 0.0, 0, 0
+        for batch_idx, (_inputs, _targets) in enumerate(
+            d_loader.train(config.train_classifier.batch_size)
+        ):
+            xs, zs = gen_input(_inputs, _targets)
+            batch = xs.shape[0]
+            mask_1 = jnp.ones((batch, n_players), dtype=jnp.int32)
+            step_rng = jax.random.fold_in(rng, batch_idx)
+            params, opt_state, loss, probs = step(
+                params, opt_state, lr, update_mask,
+                jnp.asarray(xs), mask_1, jnp.asarray(zs), step_rng,
+            )
+            loss_val = float(loss)
+            cls_loss += loss_val
+            correct += int(np.sum(np.argmax(np.asarray(probs), axis=1) == zs))
+            total += batch
+            env.log(
+                f"  > epoch {epoch} :{batch_idx}:train // "
+                f"loss: cls {loss_val / batch:.6f} // "
+                f"acc: {100.0 * correct / total:.3f}%, {correct}/{total}"
+            )
+        train_loss, train_acc = cls_loss / max(total, 1), correct / max(total, 1)
+
+        test_loss_sum, correct, total = 0.0, 0, 0
+        for batch_idx, (_inputs, _targets) in enumerate(
+            d_loader.test(config.train_classifier.batch_size)
+        ):
+            xs, zs = gen_input(_inputs, _targets)
+            batch = xs.shape[0]
+            mask_1 = jnp.ones((batch, n_players), dtype=jnp.int32)
+            probs = eval_fwd(params, jnp.asarray(xs), mask_1)
+            loss_val = float(cross_entropy_on_probs(probs, jnp.asarray(zs)))
+            test_loss_sum += loss_val
+            correct += int(np.sum(np.argmax(np.asarray(probs), axis=1) == zs))
+            total += batch
+            env.log(
+                f"  > epoch {epoch} :{batch_idx}:test // "
+                f"loss: cls {loss_val / batch:.6f} // "
+                f"acc: {100.0 * correct / total:.3f}%, {correct}/{total}"
+            )
+        test_loss, test_acc = test_loss_sum / max(total, 1), correct / max(total, 1)
+
+        ts_delta = time.time() - ts_begin
+        env.metrics({
+            "epoch": epoch,
+            "train_cls_loss": train_loss,
+            "train_cls_acc": train_acc,
+            "test_cls_loss": test_loss,
+            "test_cls_acc": test_acc,
+        })
+        env.log(
+            f"  > epoch {epoch} done in {ts_delta:.2f}s // "
+            f"train_loss: cls {train_loss:.6f} // "
+            f"test_loss: cls {test_loss:.6f} // test_acc: {test_acc:.3f}"
+        )
+        if save_epoch_ckpt(env.model_path, "classifier",
+                           config.train_classifier, epoch, params):
+            env.flush_cfg()

@@ -1,0 +1,147 @@
+"""Surrogate training stage: KL-distillation of the frozen classifier under
+random coalition masks (parity: /root/reference/scripts/train_surrogate.py).
+
+TPU notes: masks are drawn on-device from the epoch key; teacher forward,
+student forward, loss and optimizer update compile into one XLA program per
+batch shape."""
+
+from __future__ import annotations
+
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.shapley import loss_logits_kl_divergence, mask_purely_uniform
+from ..utils.seeding import iterative_key, set_iterative_seed
+from .env import ExpEnv
+from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
+from .training import (
+    cosine_lr,
+    cross_entropy_on_probs,
+    filter_mask,
+    make_optimizer,
+    make_train_step,
+    ones_mask,
+)
+
+
+def train_surrogate(env: ExpEnv) -> None:
+    env.log("[[[ train surrogate ]]]")
+    config = env.config
+    recipe, m_config = get_recipe(config)
+    if not recipe.training.support_surrogate:
+        env.log("[[[ skip: surrogate cannot be trained ]]]")
+        return
+
+    d_loader = load_cfg_dataset(config.dataset, env.model_path)
+    m_misc = recipe.load_misc(env.model_path, m_config)
+    n_players = recipe.n_players(m_config)
+    gen_input = recipe.gen_input(m_config, m_misc)
+
+    _, cls_params = load_epoch_model(env, recipe, "classifier")
+    epoch_start, params = load_epoch_model(env, recipe, "surrogate")
+    if epoch_start >= config.train_surrogate.epochs:
+        env.log("[[[ surrogate already trained ]]]")
+        return
+
+    tx, opt_state = make_optimizer(params, recipe.trainable(m_config, "surrogate"))
+
+    teacher_fwd = jax.jit(
+        lambda p, xs, mask: recipe.fw_classifier(m_config, p, xs, mask)[1]
+    )
+
+    def loss_fn(p, xs, mask, orig_ys, rng):
+        adapt_ys, _ = recipe.fw_surrogate(
+            m_config, p, xs, mask, deterministic=False, rng=rng
+        )
+        return loss_logits_kl_divergence(orig_ys, adapt_ys), adapt_ys
+
+    step = make_train_step(tx, loss_fn)
+    eval_fwd = jax.jit(
+        lambda p, xs, mask: recipe.fw_surrogate(m_config, p, xs, mask)[0]
+    )
+
+    def run_epoch(epoch: int, rng, lr, update_mask, train: bool):
+        nonlocal params, opt_state
+        kld_sum, cls_sum, correct, total = 0.0, 0.0, 0, 0
+        items = (
+            d_loader.train(config.train_surrogate.batch_size) if train
+            else d_loader.test(config.train_surrogate.batch_size)
+        )
+        tag = "train" if train else "test"
+        for batch_idx, (_inputs, _targets) in enumerate(items):
+            xs, zs = gen_input(_inputs, _targets)
+            batch = xs.shape[0]
+            mask_key = jax.random.fold_in(rng, 2 * batch_idx)
+            step_rng = jax.random.fold_in(rng, 2 * batch_idx + 1)
+            mask_1 = jnp.ones((batch, n_players), dtype=jnp.int32)
+            mask_rand = mask_purely_uniform(mask_key, batch, n_players)
+            orig_ys = teacher_fwd(cls_params, jnp.asarray(xs), mask_1)
+            if train:
+                params, opt_state, loss_kld, adapt_ys = step(
+                    params, opt_state, lr, update_mask,
+                    jnp.asarray(xs), mask_rand, orig_ys, step_rng,
+                )
+            else:
+                adapt_ys = eval_fwd(params, jnp.asarray(xs), mask_rand)
+                loss_kld = loss_logits_kl_divergence(orig_ys, adapt_ys)
+            loss_cls = cross_entropy_on_probs(adapt_ys, jnp.asarray(zs))
+            kld_val, cls_val = float(loss_kld), float(loss_cls)
+            kld_sum += kld_val
+            cls_sum += cls_val
+            correct += int(np.sum(np.argmax(np.asarray(adapt_ys), axis=1) == zs))
+            total += batch
+            env.log(
+                f"  > epoch {epoch} :{batch_idx}:{tag} // "
+                f"loss: kld {kld_val / batch:.6f} cls {cls_val / batch:.6f} // "
+                f"acc: {100.0 * correct / total:.3f}%, {correct}/{total}"
+            )
+        total = max(total, 1)
+        return kld_sum / total, cls_sum / total, correct / total
+
+    for epoch in range(epoch_start + 1, config.train_surrogate.epochs + 1):
+        set_iterative_seed(config.seed, f"train_surrogate[epoch={epoch}]")
+        rng = iterative_key(config.seed, f"train_surrogate[epoch={epoch}]")
+        env.log(f"### epoch {epoch}")
+
+        update_mask = ones_mask(params)
+        if config.train_surrogate.EXPERIMENTAL_progressive_training and \
+                recipe.progressive_trainable is not None:
+            unfrozen = min(math.ceil(epoch / 3), m_config.num_hidden_layers)
+            env.log(f"  > freeze side branches exc. first {unfrozen} layers")
+            update_mask = filter_mask(
+                params, recipe.progressive_trainable(m_config, "surrogate", unfrozen)
+            )
+
+        lr = cosine_lr(config.train_surrogate.lr, epoch,
+                       config.train_surrogate.epochs)
+        ts_begin = time.time()
+        train_kld, train_cls, train_acc = run_epoch(
+            epoch, jax.random.fold_in(rng, 0), lr, update_mask, train=True
+        )
+        test_kld, test_cls, test_acc = run_epoch(
+            epoch, jax.random.fold_in(rng, 1), lr, update_mask, train=False
+        )
+        ts_delta = time.time() - ts_begin
+
+        env.metrics({
+            "epoch": epoch,
+            "train_kld_loss": train_kld,
+            "train_cls_loss": train_cls,
+            "train_cls_acc": train_acc,
+            "test_kld_loss": test_kld,
+            "test_cls_loss": test_cls,
+            "test_cls_acc": test_acc,
+        })
+        env.log(
+            f"  > epoch {epoch} done in {ts_delta:.2f}s // "
+            f"train_loss: kld {train_kld:.6f} cls {train_cls:.6f} // "
+            f"test_loss: kld {test_kld:.6f} cls {test_cls:.6f} // "
+            f"test_acc: {test_acc:.3f}"
+        )
+        if save_epoch_ckpt(env.model_path, "surrogate",
+                           config.train_surrogate, epoch, params):
+            env.flush_cfg()

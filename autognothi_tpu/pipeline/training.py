@@ -1,0 +1,106 @@
+"""Shared training machinery: optimizer construction with freeze masks,
+cosine-annealed learning rates, and jit-compiled step builders.
+
+Design decisions (TPU-first re-design of the reference trainers):
+- Freezing is optimizer partitioning: `optax.multi_transform` routes frozen
+  params to `set_to_zero`, replacing `.requires_grad = False`
+  (/root/reference/utils/nnmodel.py:48-60).  Frozen params receive neither
+  gradient updates nor weight decay — matching torch AdamW skipping params
+  with no grad.
+- LTT progressive training needs the freeze set to change *per epoch*
+  without resetting Adam moments; that is a dynamic 0/1 `update_mask`
+  multiplied into both gradients and updates inside the compiled step
+  (progressively-frozen side layers have zero moments anyway, so this is
+  exactly torch's behavior).
+- The lr schedule replicates torch CosineAnnealingLR stepped per *epoch*
+  (train_classifier.py:41-43,82); the lr is a step argument so one compiled
+  executable serves all epochs.
+- Optimizer state is deliberately NOT checkpointed (reference behavior:
+  rebuilt at resume, SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..recipes.types import Params
+
+# torch.optim.AdamW defaults — the reference never overrides them
+ADAMW_BETAS = (0.9, 0.999)
+ADAMW_EPS = 1e-8
+ADAMW_WEIGHT_DECAY = 1e-2
+
+
+def cosine_lr(base_lr: float, epoch: int, total_epochs: int) -> float:
+    """torch CosineAnnealingLR value for 1-indexed `epoch` (the lr used
+    *during* epoch e is the post-(e-1)-step value, eta_min=0)."""
+    if total_epochs <= 0:
+        return base_lr
+    t = epoch - 1
+    return base_lr * (1 + math.cos(math.pi * t / total_epochs)) / 2
+
+
+def make_optimizer(
+    params: Params, trainable: Callable[[str], bool]
+) -> Tuple[optax.GradientTransformation, Any]:
+    """AdamW over the trainable subset (others frozen hard); lr injected
+    per step via optax.tree_utils.tree_set."""
+    labels = {k: ("train" if trainable(k) else "freeze") for k in params}
+    tx = optax.multi_transform(
+        {
+            "train": optax.inject_hyperparams(optax.adamw)(
+                learning_rate=0.0,
+                b1=ADAMW_BETAS[0],
+                b2=ADAMW_BETAS[1],
+                eps=ADAMW_EPS,
+                weight_decay=ADAMW_WEIGHT_DECAY,
+            ),
+            "freeze": optax.set_to_zero(),
+        },
+        labels,
+    )
+    return tx, tx.init(params)
+
+
+def ones_mask(params: Params) -> Dict[str, jax.Array]:
+    return {k: jnp.ones(()) for k in params}
+
+
+def filter_mask(params: Params, keep: Callable[[str], bool]) -> Dict[str, jax.Array]:
+    return {k: jnp.ones(()) if keep(k) else jnp.zeros(()) for k in params}
+
+
+def make_train_step(
+    tx: optax.GradientTransformation,
+    loss_fn: Callable[..., Tuple[jax.Array, Any]],
+) -> Callable:
+    """jit-compiled (params, opt_state, lr, update_mask, *batch) ->
+    (params, opt_state, loss, aux).  `loss_fn(params, *batch) -> (loss, aux)`.
+    `update_mask` is a per-param 0/1 scalar dict for dynamic freezing."""
+
+    @jax.jit
+    def step(params, opt_state, lr, update_mask, *batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, *batch
+        )
+        grads = jax.tree.map(lambda g, m: g * m, grads, update_mask)
+        opt_state = optax.tree_utils.tree_set(opt_state, learning_rate=lr)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u, m: u * m, updates, update_mask)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    return step
+
+
+def cross_entropy_on_probs(probs: jax.Array, labels: jax.Array) -> jax.Array:
+    """torch F.cross_entropy applied to the models' softmax outputs — i.e.
+    log_softmax over *probabilities* (the reference's observable behavior,
+    vanilla_bert.py:52,77 + train_classifier.py:136)."""
+    logp = jax.nn.log_softmax(probs, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
