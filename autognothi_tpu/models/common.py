@@ -43,19 +43,27 @@ __all__ = [
 
 
 def dense(x: jax.Array, w: jax.Array, b: Optional[jax.Array]) -> jax.Array:
-    """x @ w.T + b with w in torch (out, in) layout."""
+    """x @ w.T + b with w in torch (out, in) layout.  bf16 inputs accumulate
+    in fp32 on the MXU and cast back down."""
     y = jax.lax.dot_general(
-        x, w, (((x.ndim - 1,), (1,)), ((), ())), preferred_element_type=x.dtype
+        x, w.astype(x.dtype), (((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     if b is not None:
-        y = y + b
-    return y
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float) -> jax.Array:
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
+    """LayerNorm with fp32 statistics — under bf16 activations the mean/var
+    math runs in float32 and the result is cast back (free when fp32)."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    normed = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    out = normed * w.astype(jnp.float32) + b.astype(jnp.float32)
+    return out.astype(dtype)
 
 
 def gelu(x: jax.Array) -> jax.Array:
@@ -123,15 +131,18 @@ def self_attention(
     k = split_heads(dense(h, wk, bk), n_heads)
     v = split_heads(dense(h, wv, bv), n_heads)
 
-    scores = jnp.einsum("...htd,...hsd->...hts", q, k) / math.sqrt(head_dim)
+    # scores accumulate in fp32 (MXU-native); softmax in fp32 for stability
+    scores = jnp.einsum(
+        "...htd,...hsd->...hts", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(head_dim)
     if mask is not None:
         if mask_mode == "additive":
-            scores = scores + mask
+            scores = scores + mask.astype(scores.dtype)
         elif mask_mode == "multiplicative":
             scores = scores * mask[..., None, None, :].astype(scores.dtype)
         else:
             raise ValueError(f"unknown mask_mode {mask_mode!r}")
-    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     probs = dropout(dropout_key, probs, attn_dropout, deterministic)
     ctx = jnp.einsum("...hts,...hsd->...htd", probs, v)
     return merge_heads(ctx)

@@ -1,0 +1,210 @@
+"""Inference performance report: per-stage latency / GFLOPs / Mparams
+(parity: /root/reference/scripts/measure_performance.py).
+
+TPU instrumentation: wall time is fenced by a device->host transfer (the
+reliable execution fence on every platform, incl. the remote-TPU tunnel
+where `block_until_ready` is a no-op); FLOPs come from XLA's own
+`compiled.cost_analysis()` on the lowered program (the analogue of
+torch.profiler's `with_flops`)."""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pydantic
+
+from ..data.loader import DatasetLoader
+from ..recipes.types import Params
+from ..utils.units import GFLOPS, MParams, Seconds
+from .env import ExpEnv
+from .resources import get_recipe, load_cfg_dataset, load_epoch_model
+
+
+class ModelPerformance(pydantic.BaseModel):
+    time: List[Seconds]
+    time_avg: Seconds
+    time_std: Seconds
+    gflops: GFLOPS
+    params_all: MParams
+    params_trainable: MParams
+
+
+class MeasurePerformanceReport(pydantic.BaseModel):
+    """Requires: classifier [-1], surrogate [-1], explainer [-1], final [-1]."""
+
+    classifier: Optional[ModelPerformance]
+    surrogate: Optional[ModelPerformance]
+    explainer: Optional[ModelPerformance]
+    final: Optional[ModelPerformance]
+
+
+def device_fence(x) -> None:
+    """Force execution to completion via a device->host transfer."""
+    np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+
+
+def timed_call(fn: Callable[[], Any]) -> float:
+    t0 = time.perf_counter_ns()
+    out = fn()
+    device_fence(out)
+    return (time.perf_counter_ns() - t0) / 1e9
+
+
+def compiled_gflops(jitted, *args) -> float:
+    """XLA cost analysis of the lowered executable."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns a per-device list
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) / 1e9
+    except Exception:
+        return 0.0
+
+
+def _count_params(params: Params, trainable: Callable[[str], bool]):
+    p_all = sum(int(np.prod(v.shape)) for v in params.values())
+    p_train = sum(
+        int(np.prod(v.shape)) for k, v in params.items() if trainable(k)
+    )
+    return p_all / 1e6, p_train / 1e6
+
+
+def _stat(times: List[float], gflops: float, params_all, params_train):
+    arr = np.asarray(times)
+    std = float(arr.std(ddof=1)) if len(arr) > 1 else 0.0
+    return ModelPerformance(
+        time=times,
+        time_avg=float(arr.mean()),
+        time_std=std,
+        gflops=gflops,
+        params_all=params_all,
+        params_trainable=params_train,
+    )
+
+
+def measure_performance(
+    env: ExpEnv, d_loader: Optional[DatasetLoader] = None
+) -> MeasurePerformanceReport:
+    env.log("loading models...")
+    config = env.config
+    recipe, m_config = get_recipe(config)
+
+    if d_loader is None:
+        env.log("loading dataset...")
+        d_config = config.eval_performance.dataset or config.dataset
+        d_loader = load_cfg_dataset(d_config, env.model_path)
+    m_misc = recipe.load_misc(env.model_path, m_config)
+    n_players = recipe.n_players(m_config)
+    gen_input = recipe.gen_input(m_config, m_misc)
+    loops = config.eval_performance.loops
+    batch_size = 1
+
+    def log_results(tag: str, r: ModelPerformance) -> None:
+        env.log(f"PERFORMANCE RESULTS for {recipe.id} <{tag}>")
+        env.log(
+            f"    params: all {r.params_all:.3f} M, trainable "
+            f"{r.params_trainable:.3f} M"
+        )
+        env.log(f"    flops: {r.gflops:.3f} G")
+        env.log(
+            f"    time: mean {r.time_avg * 1e3:.3f} ms, "
+            f"std {r.time_std * 1e3:.3f} ms"
+        )
+
+    def iterate_samples():
+        for loop in range(loops):
+            for _inputs, _targets in d_loader.test(batch_size):
+                xs, zs = gen_input(_inputs, _targets)
+                yield jnp.asarray(xs), int(np.asarray(zs).shape[0])
+
+    results_cls = results_srg = results_exp = results_fin = None
+
+    if recipe.measurements.allow_performance_cls:
+        _, cls_params = load_epoch_model(env, recipe, "classifier")
+        fwd = jax.jit(
+            lambda p, xs, mask: recipe.fw_classifier(m_config, p, xs, mask)[0]
+        )
+        times, last = [], None
+        for xs, size in iterate_samples():
+            mask_1 = jnp.ones((xs.shape[0], n_players), jnp.int32)
+            if last is None or last.shape != xs.shape:
+                fwd(cls_params, xs, mask_1)  # warm the executable
+            times.append(timed_call(lambda: fwd(cls_params, xs, mask_1)) / size)
+            last = xs
+        gf = compiled_gflops(fwd, cls_params, last,
+                             jnp.ones((last.shape[0], n_players), jnp.int32))
+        results_cls = _stat(times, gf,
+                            *_count_params(cls_params, lambda n: False))
+        log_results("cls", results_cls)
+
+    if recipe.measurements.allow_performance_srg_exp:
+        _, srg_params = load_epoch_model(env, recipe, "surrogate")
+        _, exp_params = load_epoch_model(env, recipe, "explainer")
+        nil_xs = jnp.asarray(recipe.gen_null(m_config, m_misc))
+        nil_mask = jnp.ones((1, n_players), jnp.int32)
+        surrogate_null, _ = recipe.fw_surrogate(m_config, srg_params, nil_xs,
+                                                nil_mask)
+        fwd_srg = jax.jit(
+            lambda p, xs, mask: recipe.fw_surrogate(m_config, p, xs, mask)[0]
+        )
+        fwd_exp = jax.jit(
+            lambda p, xs, mask, grand: recipe.fw_explainer(
+                m_config, p, xs, mask, grand, surrogate_null
+            )[0]
+        )
+        t_srg, t_exp, last = [], [], None
+        grand = None
+        for xs, size in iterate_samples():
+            mask_1 = jnp.ones((xs.shape[0], n_players), jnp.int32)
+            if last is None or last.shape != xs.shape:
+                g = fwd_srg(srg_params, xs, mask_1)
+                fwd_exp(exp_params, xs, mask_1, g)
+            grand_box = []
+            t_srg.append(
+                timed_call(
+                    lambda: grand_box.append(fwd_srg(srg_params, xs, mask_1))
+                    or grand_box[0]
+                ) / size
+            )
+            grand = grand_box[0]
+            t_exp.append(
+                timed_call(lambda: fwd_exp(exp_params, xs, mask_1, grand)) / size
+            )
+            last = xs
+        mask_1 = jnp.ones((last.shape[0], n_players), jnp.int32)
+        gf_srg = compiled_gflops(fwd_srg, srg_params, last, mask_1)
+        gf_exp = compiled_gflops(fwd_exp, exp_params, last, mask_1, grand)
+        trainable = recipe.trainable(m_config, "surrogate")
+        results_srg = _stat(t_srg, gf_srg, *_count_params(srg_params, trainable))
+        results_exp = _stat(
+            t_exp, gf_exp,
+            *_count_params(exp_params, recipe.trainable(m_config, "explainer")),
+        )
+        log_results("srg", results_srg)
+        log_results("exp", results_exp)
+
+    if recipe.measurements.allow_performance_fin:
+        _, fin_params = load_epoch_model(env, recipe, "final")
+        fwd_fin = jax.jit(lambda p, xs: recipe.fw_final(m_config, p, xs))
+        times, last = [], None
+        for xs, size in iterate_samples():
+            if last is None or last.shape != xs.shape:
+                fwd_fin(fin_params, xs)
+            times.append(timed_call(lambda: fwd_fin(fin_params, xs)) / size)
+            last = xs
+        gf = compiled_gflops(fwd_fin, fin_params, last)
+        results_fin = _stat(
+            times, gf, *_count_params(fin_params, recipe.trainable(m_config, "final"))
+        )
+        log_results("fin", results_fin)
+
+    return MeasurePerformanceReport(
+        classifier=results_cls,
+        surrogate=results_srg,
+        explainer=results_exp,
+        final=results_fin,
+    )

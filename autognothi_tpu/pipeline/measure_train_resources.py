@@ -1,0 +1,233 @@
+"""Train-resource report: seconds & device-MiB per training step for the
+surrogate and explainer stages, plus setup cost (parity: /root/reference/
+scripts/measure_train_resources.py).
+
+TPU instrumentation: per-step wall time is fenced by a device->host
+transfer; memory is the device allocator's `peak_bytes_in_use` delta where
+the backend exposes `memory_stats()` (real TPUs do; the CPU test backend
+reports 0).  Known reference quirk (measure_train_resources.py:154): the
+explainer step reuses `optim_srg` — we use the explainer's own optimizer and
+document the deviation here."""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pydantic
+
+from ..data.loader import DatasetLoader
+from ..ops.shapley import (
+    loss_logits_kl_divergence,
+    mask_purely_uniform,
+    mask_shapley,
+)
+from ..utils.seeding import iterative_key
+from ..utils.units import MiBytes, Seconds
+from .env import ExpEnv
+from .measure_performance import device_fence
+from .resources import get_recipe, load_cfg_dataset
+from .training import make_optimizer, make_train_step, ones_mask
+
+
+class SecondsStats(pydantic.BaseModel):
+    all: List[Seconds]
+    avg: Seconds
+    std: Seconds
+
+    @staticmethod
+    def from_list(values: List[Seconds]) -> "SecondsStats":
+        arr = np.asarray(values) if values else np.zeros(1)
+        std = float(arr.std(ddof=1)) if len(arr) > 1 else 0.0
+        return SecondsStats(all=values, avg=float(arr.mean()), std=std)
+
+
+class MiBytesStats(pydantic.BaseModel):
+    all: List[MiBytes]
+    avg: MiBytes
+    std: MiBytes
+
+    @staticmethod
+    def from_list(values: List[MiBytes]) -> "MiBytesStats":
+        arr = np.asarray(values) if values else np.zeros(1)
+        std = float(arr.std(ddof=1)) if len(arr) > 1 else 0.0
+        return MiBytesStats(all=values, avg=float(arr.mean()), std=std)
+
+
+class MeasureTrainResourcesReport(pydantic.BaseModel):
+    init_tm: Seconds
+    init_mem: MiBytes
+    srg_tm: SecondsStats
+    srg_mem: MiBytesStats
+    exp_tm: SecondsStats
+    exp_mem: MiBytesStats
+
+
+def _device_peak_mib() -> float:
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            return stats["peak_bytes_in_use"] / (1024 * 1024)
+    except Exception:
+        pass
+    return 0.0
+
+
+def measure_train_resources(
+    env: ExpEnv, d_loader: Optional[DatasetLoader] = None
+) -> MeasureTrainResourcesReport:
+    env.log("loading models...")
+    config = env.config
+    recipe, m_config = get_recipe(config)
+    if not recipe.measurements.allow_train_resources:
+        raise ValueError("unsupported recipe action")
+
+    m_misc = recipe.load_misc(env.model_path, m_config)
+    n_players = recipe.n_players(m_config)
+    n_mask_samples = config.train_explainer.n_mask_samples
+    gen_input = recipe.gen_input(m_config, m_misc)
+
+    if d_loader is None:
+        env.log("loading dataset...")
+        d_config = config.eval_performance.dataset or config.dataset
+        d_loader = load_cfg_dataset(d_config, env.model_path)
+
+    # ---- setup resources: fresh params + optimizers
+    mem_before = _device_peak_mib()
+    t0 = time.perf_counter()
+    key = iterative_key(config.seed, "measure_train_resources")
+    k_cls, k_srg, k_exp = jax.random.split(key, 3)
+    cls_params = recipe.init_classifier(k_cls, m_config)
+    srg_params = recipe.init_surrogate(k_srg, m_config)
+    exp_params = recipe.init_explainer(k_exp, m_config)
+    tx_srg, opt_srg = make_optimizer(
+        srg_params, recipe.trainable(m_config, "surrogate")
+    )
+    tx_exp, opt_exp = make_optimizer(
+        exp_params, recipe.trainable(m_config, "explainer")
+    )
+    device_fence(exp_params)
+    init_tm = time.perf_counter() - t0
+    init_mem = max(0.0, _device_peak_mib() - mem_before)
+    env.log(f"init: {init_tm:.6f} s, {init_mem:.2f} MB")
+
+    batch_size = config.eval_train_resources.batch_size
+    max_samples = config.eval_train_resources.max_samples
+    lr_srg = jnp.asarray(config.train_surrogate.lr)
+    lr_exp = jnp.asarray(config.train_explainer.lr)
+
+    nil_xs = jnp.asarray(recipe.gen_null(m_config, m_misc))
+    nil_mask = jnp.ones((1, n_players), jnp.int32)
+    surrogate_null, _ = recipe.fw_surrogate(m_config, srg_params, nil_xs, nil_mask)
+
+    # ---- surrogate step
+    def srg_loss(p, xs, mask, orig, rng):
+        adapt, _ = recipe.fw_surrogate(
+            m_config, p, xs, mask, deterministic=False, rng=rng
+        )
+        return loss_logits_kl_divergence(orig, adapt), None
+
+    srg_step = make_train_step(tx_srg, srg_loss)
+    teacher = jax.jit(
+        lambda p, xs, mask: recipe.fw_classifier(m_config, p, xs, mask)[1]
+    )
+    srg_mask = ones_mask(srg_params)
+
+    srg_tms: List[float] = []
+    srg_mems: List[float] = []
+    seen = 0
+    for batch_idx, (_inputs, _targets) in enumerate(d_loader.train(batch_size)):
+        if seen >= max_samples:
+            break
+        xs, _zs = gen_input(_inputs, _targets)
+        xs = jnp.asarray(xs)
+        size = xs.shape[0]
+        rng = jax.random.fold_in(key, 100 + batch_idx)
+        mask_rand = mask_purely_uniform(rng, size, n_players)
+        orig = teacher(cls_params, xs, jnp.ones((size, n_players), jnp.int32))
+        device_fence(orig)
+        if batch_idx == 0:  # warm the executable outside timing
+            srg_step(srg_params, opt_srg, lr_srg, srg_mask, xs, mask_rand,
+                     orig, rng)
+        mem_a = _device_peak_mib()
+        t0 = time.perf_counter()
+        srg_params, opt_srg, _loss, _aux = srg_step(
+            srg_params, opt_srg, lr_srg, srg_mask, xs, mask_rand, orig, rng
+        )
+        device_fence(srg_params)
+        srg_tms.append((time.perf_counter() - t0) / size)
+        srg_mems.append(max(0.0, _device_peak_mib() - mem_a))
+        seen += size
+    env.log(f"surrogate: {np.mean(srg_tms):.6f} s/sample over {seen} samples")
+
+    # ---- explainer step (own optimizer; see module docstring re: reference
+    # quirk using optim_srg here)
+    def exp_loss(p, xs, masks_bmp, v_0, v_s, v_1, rng):
+        b = masks_bmp.shape[0]
+        mask_1 = jnp.ones((b, n_players), jnp.int32)
+        phi, _ = recipe.fw_explainer(
+            m_config, p, xs, mask_1, v_1, v_0, deterministic=False, rng=rng
+        )
+        from ..ops.shapley import loss_shapley
+
+        return loss_shapley(masks_bmp, v_0, v_s, v_1, phi), None
+
+    exp_step = make_train_step(tx_exp, exp_loss)
+    exp_mask = ones_mask(exp_params)
+
+    @jax.jit
+    def exp_teacher(p, xs, masks_bmp):
+        b = masks_bmp.shape[0]
+        mask_1 = jnp.ones((b, n_players), jnp.int32)
+        if recipe.fw_surrogate_coalitions is not None:
+            v_s = recipe.fw_surrogate_coalitions(m_config, p, xs, masks_bmp)
+            v_s = v_s.reshape(b * n_mask_samples, -1)
+        else:
+            xs_ext = jnp.repeat(xs, n_mask_samples, axis=0)
+            v_s, _ = recipe.fw_surrogate(
+                m_config, p, xs_ext, masks_bmp.reshape(-1, n_players)
+            )
+        v_1, _ = recipe.fw_surrogate(m_config, p, xs, mask_1)
+        return v_s, v_1
+
+    exp_tms: List[float] = []
+    exp_mems: List[float] = []
+    seen = 0
+    for batch_idx, (_inputs, _targets) in enumerate(d_loader.train(batch_size)):
+        if seen >= max_samples:
+            break
+        xs, _zs = gen_input(_inputs, _targets)
+        xs = jnp.asarray(xs)
+        size = xs.shape[0]
+        rng = jax.random.fold_in(key, 200 + batch_idx)
+        masks = mask_shapley(rng, size * n_mask_samples, n_players).reshape(
+            size, n_mask_samples, n_players
+        )
+        v_s, v_1 = exp_teacher(srg_params, xs, masks)
+        device_fence(v_s)
+        if batch_idx == 0:
+            exp_step(exp_params, opt_exp, lr_exp, exp_mask, xs, masks,
+                     surrogate_null, v_s, v_1, rng)
+        mem_a = _device_peak_mib()
+        t0 = time.perf_counter()
+        exp_params, opt_exp, _loss, _aux = exp_step(
+            exp_params, opt_exp, lr_exp, exp_mask, xs, masks,
+            surrogate_null, v_s, v_1, rng,
+        )
+        device_fence(exp_params)
+        exp_tms.append((time.perf_counter() - t0) / size)
+        exp_mems.append(max(0.0, _device_peak_mib() - mem_a))
+        seen += size
+    env.log(f"explainer: {np.mean(exp_tms):.6f} s/sample over {seen} samples")
+
+    return MeasureTrainResourcesReport(
+        init_tm=init_tm,
+        init_mem=init_mem,
+        srg_tm=SecondsStats.from_list(srg_tms),
+        srg_mem=MiBytesStats.from_list(srg_mems),
+        exp_tm=SecondsStats.from_list(exp_tms),
+        exp_mem=MiBytesStats.from_list(exp_mems),
+    )

@@ -124,3 +124,9 @@ class ModelRecipe:
     progressive_trainable: Optional[
         Callable[[Any, str, int], Callable[[str], bool]]
     ] = None
+
+    # representation observers (the functional analogue of the reference's
+    # ObservableModuleMixin, utils/nnmodel.py:194-239) — used by the CKA
+    # report.  (cfg, params, Xs, mask[, grand, null]) -> (out, hidden <B,T,H>)
+    fw_classifier_repr: Optional[Callable[..., Tuple[jax.Array, jax.Array]]] = None
+    fw_explainer_repr: Optional[Callable[..., Tuple[jax.Array, jax.Array]]] = None

@@ -169,6 +169,20 @@ def fw_final(cfg, params, xs, **kw):
     return probs, attr
 
 
+def fw_classifier_repr(cfg, params, xs, mask, **kw):
+    xs, mask, ttype = fw_xs_preprocess(xs, mask)
+    probs, obs = bert_classifier_fwd(params, cfg, xs, mask, ttype, **kw)
+    return probs, obs["repr_cls"]
+
+
+def fw_explainer_repr(cfg, params, xs, mask, grand, null, **kw):
+    xs, mask, ttype = fw_xs_preprocess(xs, mask)
+    attr, obs = bert_explainer_fwd(
+        params, cfg, xs, mask, ttype, grand, null, **kw
+    )
+    return attr, obs["repr_exp"]
+
+
 def fw_surrogate_coalitions(cfg, params, xs, masks, **kw):
     b, m = masks.shape[:2]
     cls_col = jnp.ones((b, m, 1), dtype=masks.dtype)
@@ -252,4 +266,6 @@ def vanilla_bert_recipe() -> ModelRecipe:
             allow_branches_cka=True,
         ),
         trainable=_trainable,
+        fw_classifier_repr=fw_classifier_repr,
+        fw_explainer_repr=fw_explainer_repr,
     )

@@ -142,6 +142,18 @@ def fw_final(cfg, params, xs, **kw):
     return probs, attr
 
 
+def fw_classifier_repr(cfg, params, xs, mask, **kw):
+    xs, mask = fw_xs_preprocess(xs, mask)
+    probs, obs = vit_classifier_fwd(params, cfg, xs, mask, **kw)
+    return probs, obs["repr_cls"]
+
+
+def fw_explainer_repr(cfg, params, xs, mask, grand, null, **kw):
+    xs, mask = fw_xs_preprocess(xs, mask)
+    attr, obs = vit_explainer_fwd(params, cfg, xs, mask, grand, null, **kw)
+    return attr, obs["repr_exp"]
+
+
 def fw_surrogate_coalitions(cfg, params, xs, masks, **kw):
     """masks: <B, M, n_players> (no CLS column) -> <B, M, n_classes>."""
     b, m = masks.shape[:2]
@@ -228,4 +240,6 @@ def vanilla_vit_recipe() -> ModelRecipe:
             allow_branches_cka=True,
         ),
         trainable=_trainable,
+        fw_classifier_repr=fw_classifier_repr,
+        fw_explainer_repr=fw_explainer_repr,
     )
