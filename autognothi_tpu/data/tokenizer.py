@@ -119,6 +119,13 @@ class WordPieceTokenizer:
     def decode_tokens(self, ids: Iterable[int]) -> List[str]:
         return [self.vocab[i] for i in ids]
 
+    @property
+    def all_special_ids(self) -> List[int]:
+        return [self.token_to_id[t] for t in SPECIALS]
+
+    def decode(self, token_id: int) -> str:
+        return self.vocab[int(token_id)]
+
 
 def build_vocab(texts: Iterable[str], max_size: int = 2000) -> List[str]:
     """Whole-word + suffix-piece vocab from a corpus (deterministic order)."""
