@@ -52,16 +52,25 @@ def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
     )
     tx, opt_state = make_optimizer(params, trainable)
 
-    def loss_fn(p, xs, mask, labels, rng):
+    # LTT recipes take a *traced* ladder-depth knob (progressive training
+    # truncates the side ladder in the forward, ltt_bert.py:463-497)
+    is_ltt = recipe.progressive_trainable is not None
+    full_depth = getattr(m_config, "num_hidden_layers", 0)
+
+    def loss_fn(p, xs, mask, labels, rng, ltt_active):
+        kw = {"ltt_active_layers": ltt_active} if is_ltt else {}
         probs, _ = recipe.fw_classifier(
-            m_config, p, xs, mask, deterministic=False, rng=rng
+            m_config, p, xs, mask, deterministic=False, rng=rng, **kw
         )
         loss = cross_entropy_on_probs(probs, labels)
         return loss, probs
 
     step = make_train_step(tx, loss_fn)
     eval_fwd = jax.jit(
-        lambda p, xs, mask: recipe.fw_classifier(m_config, p, xs, mask)[0]
+        lambda p, xs, mask, ltt_active: recipe.fw_classifier(
+            m_config, p, xs, mask,
+            **({"ltt_active_layers": ltt_active} if is_ltt else {}),
+        )[0]
     )
 
     for epoch in range(epoch_start + 1, config.train_classifier.epochs + 1):
@@ -70,6 +79,7 @@ def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
         env.log(f"### epoch {epoch}")
 
         update_mask = ones_mask(params)
+        ltt_active = jnp.asarray(full_depth, jnp.int32)
         if config.train_classifier.EXPERIMENTAL_progressive_training and \
                 recipe.progressive_trainable is not None:
             unfrozen = min(math.ceil(epoch / 1), m_config.num_hidden_layers)
@@ -77,6 +87,7 @@ def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
             update_mask = filter_mask(
                 params, recipe.progressive_trainable(m_config, "classifier", unfrozen)
             )
+            ltt_active = jnp.asarray(unfrozen, jnp.int32)
 
         lr = cosine_lr(config.train_classifier.lr, epoch,
                        config.train_classifier.epochs)
@@ -92,7 +103,7 @@ def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
             step_rng = jax.random.fold_in(rng, batch_idx)
             params, opt_state, loss, probs = step(
                 params, opt_state, lr, update_mask,
-                jnp.asarray(xs), mask_1, jnp.asarray(zs), step_rng,
+                jnp.asarray(xs), mask_1, jnp.asarray(zs), step_rng, ltt_active,
             )
             loss_val = float(loss)
             cls_loss += loss_val
@@ -112,7 +123,7 @@ def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
             xs, zs = gen_input(_inputs, _targets)
             batch = xs.shape[0]
             mask_1 = jnp.ones((batch, n_players), dtype=jnp.int32)
-            probs = eval_fwd(params, jnp.asarray(xs), mask_1)
+            probs = eval_fwd(params, jnp.asarray(xs), mask_1, ltt_active)
             loss_val = float(cross_entropy_on_probs(probs, jnp.asarray(zs)))
             test_loss_sum += loss_val
             correct += int(np.sum(np.argmax(np.asarray(probs), axis=1) == zs))

@@ -84,11 +84,18 @@ def train_explainer(env: ExpEnv) -> None:
         v_1, _ = recipe.fw_surrogate(m_config, srg_p, xs, mask_1)
         return v_s, v_1
 
-    def loss_fn(p, xs, masks_bmp, v_0, v_s, v_1, rng):
+    is_ltt = recipe.progressive_trainable is not None
+    full_depth = getattr(m_config, "num_hidden_layers", 0)
+
+    def _ltt_kw(ltt_active):
+        return {"ltt_active_layers": ltt_active} if is_ltt else {}
+
+    def loss_fn(p, xs, masks_bmp, v_0, v_s, v_1, rng, ltt_active):
         b = masks_bmp.shape[0]
         mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
         phi, _ = recipe.fw_explainer(
-            m_config, p, xs, mask_1, v_1, v_0, deterministic=False, rng=rng
+            m_config, p, xs, mask_1, v_1, v_0, deterministic=False, rng=rng,
+            **_ltt_kw(ltt_active),
         )
         loss = loss_shapley(masks_bmp, v_0, v_s, v_1, phi)
         return loss, phi
@@ -97,10 +104,12 @@ def train_explainer(env: ExpEnv) -> None:
     teacher = jax.jit(surrogate_values_fn)
 
     @jax.jit
-    def eval_loss(p, xs, masks_bmp, v_0, v_s, v_1):
+    def eval_loss(p, xs, masks_bmp, v_0, v_s, v_1, ltt_active):
         b = masks_bmp.shape[0]
         mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
-        phi, _ = recipe.fw_explainer(m_config, p, xs, mask_1, v_1, v_0)
+        phi, _ = recipe.fw_explainer(
+            m_config, p, xs, mask_1, v_1, v_0, **_ltt_kw(ltt_active)
+        )
         return loss_shapley(masks_bmp, v_0, v_s, v_1, phi)
 
     mask_sampler = jax.jit(
@@ -110,7 +119,7 @@ def train_explainer(env: ExpEnv) -> None:
         static_argnums=1,
     )
 
-    def run_epoch(epoch: int, rng, lr, update_mask, train: bool):
+    def run_epoch(epoch: int, rng, lr, update_mask, ltt_active, train: bool):
         nonlocal params, opt_state
         reg_loss, total = 0.0, 0
         items = (
@@ -129,10 +138,11 @@ def train_explainer(env: ExpEnv) -> None:
             if train:
                 params, opt_state, loss, _phi = step(
                     params, opt_state, lr, update_mask,
-                    xs, masks, surrogate_null, v_s, v_1, step_rng,
+                    xs, masks, surrogate_null, v_s, v_1, step_rng, ltt_active,
                 )
             else:
-                loss = eval_loss(params, xs, masks, surrogate_null, v_s, v_1)
+                loss = eval_loss(params, xs, masks, surrogate_null, v_s, v_1,
+                                 ltt_active)
             loss_val = float(loss)
             reg_loss += loss_val
             total += batch
@@ -148,6 +158,7 @@ def train_explainer(env: ExpEnv) -> None:
         env.log(f"### epoch {epoch}")
 
         update_mask = ones_mask(params)
+        ltt_active = jnp.asarray(full_depth, jnp.int32)
         if config.train_explainer.EXPERIMENTAL_progressive_training and \
                 recipe.progressive_trainable is not None:
             unfrozen = min(math.ceil(epoch / 2), m_config.num_hidden_layers)
@@ -155,15 +166,18 @@ def train_explainer(env: ExpEnv) -> None:
             update_mask = filter_mask(
                 params, recipe.progressive_trainable(m_config, "explainer", unfrozen)
             )
+            ltt_active = jnp.asarray(unfrozen, jnp.int32)
 
         lr = cosine_lr(config.train_explainer.lr, epoch,
                        config.train_explainer.epochs)
         ts_begin = time.time()
         train_loss = run_epoch(
-            epoch, jax.random.fold_in(rng, 0), lr, update_mask, train=True
+            epoch, jax.random.fold_in(rng, 0), lr, update_mask, ltt_active,
+            train=True,
         )
         test_loss = run_epoch(
-            epoch, jax.random.fold_in(rng, 1), lr, update_mask, train=False
+            epoch, jax.random.fold_in(rng, 1), lr, update_mask, ltt_active,
+            train=False,
         )
         ts_delta = time.time() - ts_begin
 

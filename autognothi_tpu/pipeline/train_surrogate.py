@@ -49,22 +49,31 @@ def train_surrogate(env: ExpEnv) -> None:
 
     tx, opt_state = make_optimizer(params, recipe.trainable(m_config, "surrogate"))
 
+    is_ltt = recipe.progressive_trainable is not None
+    full_depth = getattr(m_config, "num_hidden_layers", 0)
+
+    def _ltt_kw(ltt_active):
+        return {"ltt_active_layers": ltt_active} if is_ltt else {}
+
     teacher_fwd = jax.jit(
         lambda p, xs, mask: recipe.fw_classifier(m_config, p, xs, mask)[1]
     )
 
-    def loss_fn(p, xs, mask, orig_ys, rng):
+    def loss_fn(p, xs, mask, orig_ys, rng, ltt_active):
         adapt_ys, _ = recipe.fw_surrogate(
-            m_config, p, xs, mask, deterministic=False, rng=rng
+            m_config, p, xs, mask, deterministic=False, rng=rng,
+            **_ltt_kw(ltt_active),
         )
         return loss_logits_kl_divergence(orig_ys, adapt_ys), adapt_ys
 
     step = make_train_step(tx, loss_fn)
     eval_fwd = jax.jit(
-        lambda p, xs, mask: recipe.fw_surrogate(m_config, p, xs, mask)[0]
+        lambda p, xs, mask, ltt_active: recipe.fw_surrogate(
+            m_config, p, xs, mask, **_ltt_kw(ltt_active)
+        )[0]
     )
 
-    def run_epoch(epoch: int, rng, lr, update_mask, train: bool):
+    def run_epoch(epoch: int, rng, lr, update_mask, ltt_active, train: bool):
         nonlocal params, opt_state
         kld_sum, cls_sum, correct, total = 0.0, 0.0, 0, 0
         items = (
@@ -83,10 +92,11 @@ def train_surrogate(env: ExpEnv) -> None:
             if train:
                 params, opt_state, loss_kld, adapt_ys = step(
                     params, opt_state, lr, update_mask,
-                    jnp.asarray(xs), mask_rand, orig_ys, step_rng,
+                    jnp.asarray(xs), mask_rand, orig_ys, step_rng, ltt_active,
                 )
             else:
-                adapt_ys = eval_fwd(params, jnp.asarray(xs), mask_rand)
+                adapt_ys = eval_fwd(params, jnp.asarray(xs), mask_rand,
+                                    ltt_active)
                 loss_kld = loss_logits_kl_divergence(orig_ys, adapt_ys)
             loss_cls = cross_entropy_on_probs(adapt_ys, jnp.asarray(zs))
             kld_val, cls_val = float(loss_kld), float(loss_cls)
@@ -108,6 +118,7 @@ def train_surrogate(env: ExpEnv) -> None:
         env.log(f"### epoch {epoch}")
 
         update_mask = ones_mask(params)
+        ltt_active = jnp.asarray(full_depth, jnp.int32)
         if config.train_surrogate.EXPERIMENTAL_progressive_training and \
                 recipe.progressive_trainable is not None:
             unfrozen = min(math.ceil(epoch / 3), m_config.num_hidden_layers)
@@ -115,15 +126,18 @@ def train_surrogate(env: ExpEnv) -> None:
             update_mask = filter_mask(
                 params, recipe.progressive_trainable(m_config, "surrogate", unfrozen)
             )
+            ltt_active = jnp.asarray(unfrozen, jnp.int32)
 
         lr = cosine_lr(config.train_surrogate.lr, epoch,
                        config.train_surrogate.epochs)
         ts_begin = time.time()
         train_kld, train_cls, train_acc = run_epoch(
-            epoch, jax.random.fold_in(rng, 0), lr, update_mask, train=True
+            epoch, jax.random.fold_in(rng, 0), lr, update_mask, ltt_active,
+            train=True,
         )
         test_kld, test_cls, test_acc = run_epoch(
-            epoch, jax.random.fold_in(rng, 1), lr, update_mask, train=False
+            epoch, jax.random.fold_in(rng, 1), lr, update_mask, ltt_active,
+            train=False,
         )
         ts_delta = time.time() - ts_begin
 
