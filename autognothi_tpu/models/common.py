@@ -15,6 +15,7 @@ BERT-large and lets the coalition-vmapped forward share code.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, Iterable, List, Optional, Tuple
 
 import jax
@@ -103,6 +104,23 @@ def additive_mask_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
     return bias[:, None, None, :]
 
 
+_PALLAS_FLAG = os.environ.get("AUTOGNOTHI_PALLAS", "0")
+
+
+def _pallas_attention_enabled() -> bool:
+    """Pallas masked-attention dispatch (AUTOGNOTHI_PALLAS=1 to enable).
+
+    Measured on ViT-B/224 fw_final, 1x v5e: XLA's fused attention currently
+    beats the v1 kernel (795.7 vs 606.6 explanations/s) — the per-(row,head)
+    grid is latency-bound and T=197 pads to 256.  Kept opt-in until the
+    kernel wins; the XLA path remains the numerical reference."""
+    if _PALLAS_FLAG != "1":
+        return False
+    from ..ops.flash_attention import pallas_available
+
+    return pallas_available()
+
+
 def self_attention(
     h: jax.Array,
     wq: jax.Array,
@@ -125,11 +143,30 @@ def self_attention(
     mask_mode "multiplicative": `mask` is <B, T> 0/1 *multiplied* into the
     raw scores before softmax (the ViT quirk to reproduce bit-for-bit,
     /root/reference/models/vanilla_vit.py:448-451).
+
+    On TPU the masked attention runs as a fused Pallas kernel (scores +
+    mask + softmax + PV entirely in VMEM) whenever attention dropout is
+    inactive; the XLA path below is the fallback and the numerical
+    reference.
     """
     head_dim = h.shape[-1] // n_heads
     q = split_heads(dense(h, wq, bq), n_heads)
     k = split_heads(dense(h, wk, bk), n_heads)
     v = split_heads(dense(h, wv, bv), n_heads)
+
+    no_dropout = deterministic or attn_dropout == 0.0
+    if (
+        mask is not None and no_dropout and h.ndim == 3
+        and _pallas_attention_enabled()
+    ):
+        from ..ops.flash_attention import masked_attention
+
+        if mask_mode == "additive":
+            row = mask[:, 0, 0, :]
+            ctx = masked_attention(q, k, v, row, mode="add")
+        else:
+            ctx = masked_attention(q, k, v, mask, mode="mul")
+        return merge_heads(ctx)
 
     # scores accumulate in fp32 (MXU-native); softmax in fp32 for stability
     scores = jnp.einsum(

@@ -1,0 +1,113 @@
+"""Pallas TPU kernel: coalition-masked self attention, fused in VMEM.
+
+The hot path of this framework runs attention over the *coalition* batch
+(B x n_mask_samples masked copies), where XLA's default lowering
+materializes the <N, heads, T, T> score and probability tensors in HBM
+between the two matmuls.  At the workload's sequence lengths (ViT: 197,
+BERT: <=512) a whole (T, T) score tile fits VMEM, so this kernel computes
+QK^T, applies the coalition mask (additive bias for BERT semantics,
+multiplicative score scaling for the ViT quirk — see models/common.py),
+does a fp32 row softmax and the PV matmul without ever leaving VMEM.
+
+Grid: one program per (batch row, head).  T is padded to the 128 lane
+quantum by the wrapper; padded key columns are forced to -inf BEFORE the
+softmax so results are bit-equivalent to the unpadded XLA path; padded query
+rows are sliced off afterwards.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _attn_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, mode: str,
+                 t_real: int, scale: float):
+    q = q_ref[0, 0]  # <T_pad, D>
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    mask_row = mask_ref[0, 0]  # <T_pad> float
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # <T_pad, T_pad>
+
+    if mode == "add":
+        scores = scores + mask_row[None, :]
+    elif mode == "mul":
+        scores = scores * mask_row[None, :]
+    else:
+        raise ValueError(mode)
+
+    # padded key columns must not receive probability mass
+    t_pad = scores.shape[-1]
+    if t_pad != t_real:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < t_real, scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jax.lax.dot_general(
+        probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+def masked_attention(
+    q: jax.Array,  # <N, h, T, D>
+    k: jax.Array,
+    v: jax.Array,
+    mask_row: jax.Array,  # <N, T> float; bias values (add) or 0/1 (mul)
+    mode: str = "add",
+    interpret: bool = False,
+) -> jax.Array:
+    """-> <N, h, T, D> attention output with the mask fused in-kernel."""
+    n, h, t, d = q.shape
+    t_pad = max(_round_up(t, 128), 128)
+    pad = t_pad - t
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        mask_row = jnp.pad(mask_row, ((0, 0), (0, pad)))
+    # <N, 1, T_pad>: TPU block shapes need the trailing two dims tile-legal
+    mask_row = mask_row.astype(jnp.float32)[:, None, :]
+
+    kernel = functools.partial(
+        _attn_kernel, mode=mode, t_real=t, scale=1.0 / math.sqrt(d)
+    )
+    qkv_spec = pl.BlockSpec(
+        (1, 1, t_pad, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, t_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            qkv_spec, qkv_spec, qkv_spec,
+        ],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((n, h, t_pad, d), q.dtype),
+        interpret=interpret,
+    )(mask_row, q, k, v)
+    return out[:, :, :t, :]
+
+
+def pallas_available() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
