@@ -413,6 +413,33 @@ def ltt_bert_final_fwd(
     return logits, attr, obs
 
 
+# ------------------------------------------------- coalition fast path
+
+
+def ltt_bert_surrogate_coalitions_fwd(
+    p: Params,
+    cfg: LttBertConfig,
+    input_ids: jax.Array,  # <B, T>
+    masks: jax.Array,  # <B, M, T> (CLS column included)
+    token_type_ids: jax.Array,
+    *,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Side-branch surrogate over B*M coalitions, embedding computed once
+    per sentence.  Returns <B, M, n_classes> side probabilities."""
+    b, m, t = masks.shape
+    bp = subdict(p, "bert.")
+    emb = bert_embeddings(bp, cfg.into(), input_ids, token_type_ids)
+    emb = jnp.broadcast_to(emb[:, None], (b, m, t, emb.shape[-1]))
+    emb = emb.reshape(b * m, t, emb.shape[-1])
+    bias = additive_mask_bias(masks.reshape(b * m, t), emb.dtype)
+    _, (side,) = ltt_bert_encoder(
+        bp, cfg, emb, bias, (0,), deterministic=deterministic
+    )
+    probs = _side_cls_head(p, side, cfg, deterministic=deterministic, rng=None)
+    return probs.reshape(b, m, -1)
+
+
 # -------------------------------------------------------------- policies
 
 

@@ -340,6 +340,53 @@ def ltt_vit_final_fwd(
     return logits, attr, obs
 
 
+def ltt_vit_surrogate_coalitions_fwd(
+    p: Params,
+    cfg: LttViTConfig,
+    pixels: jax.Array,  # <B, C, H, W>
+    masks: jax.Array,  # <B, M, 1 + n_players>
+    *,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Side-branch surrogate over B*M coalitions with the patch embedding
+    computed once per image.  Returns <B, M, n_classes>."""
+    b, m, t = masks.shape
+    vp = subdict(p, "vit.")
+    emb = vit_embeddings(vp, cfg.into(), pixels)
+    emb = jnp.broadcast_to(emb[:, None], (b, m, t, emb.shape[-1]))
+    emb = emb.reshape(b * m, t, emb.shape[-1])
+    flat_masks = masks.reshape(b * m, t)
+
+    # re-run the ladder scan on the broadcast embeddings
+    L = cfg.num_hidden_layers
+    dtype = emb.dtype
+    main_stack = stack_layer_params(vp, "encoder.layers", L, dtype=dtype)
+    maps, layers = _stack_side(vp, 0, L, dtype)
+    side_cfg = cfg.side()
+    side0 = jnp.zeros((b * m, t, cfg.s_attn_hidden_size), dtype)
+
+    def body(carry, xs):
+        h, side = carry
+        main_layer, s_maps, s_layers = xs
+        h = _vit_layer_body(
+            main_layer, h, flat_masks, cfg.into(),
+            has_ln1=True, deterministic=deterministic, rng=None,
+        )
+        side = side + gelu(dense(h, s_maps["weight"], s_maps["bias"]))
+        side = _vit_layer_body(
+            s_layers, side, flat_masks, side_cfg,
+            has_ln1=True, deterministic=deterministic, rng=None,
+        )
+        return (h, side), None
+
+    (_, side), _ = jax.lax.scan(body, (emb, side0), (main_stack, maps, layers))
+    side = layer_norm(
+        side, vp["s_attn_layernorm.0.weight"], vp["s_attn_layernorm.0.bias"],
+        cfg.layer_norm_eps,
+    )
+    return _cls_head(p, side, "s_attn_classifier").reshape(b, m, -1)
+
+
 def ltt_vit_trainable(cfg: LttViTConfig, section: str):
     frozen_prefixes = (
         "vit.embeddings.", "vit.encoder.layers.", "vit.layernorm.",

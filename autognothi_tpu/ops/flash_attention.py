@@ -30,34 +30,40 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 def _attn_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, mode: str,
-                 t_real: int, scale: float):
-    q = q_ref[0, 0]  # <T_pad, D>
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
+                 t_real: int, scale: float, n_heads: int):
+    """One program per batch row; heads unrolled in-kernel so the mask row
+    loads once and the scheduler sees a few large fused bodies instead of
+    N*heads tiny ones."""
     mask_row = mask_ref[0, 0]  # <T_pad> float
 
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # <T_pad, T_pad>
+    for head in range(n_heads):
+        q = q_ref[0, head]  # <T_pad, D>
+        k = k_ref[0, head]
+        v = v_ref[0, head]
 
-    if mode == "add":
-        scores = scores + mask_row[None, :]
-    elif mode == "mul":
-        scores = scores * mask_row[None, :]
-    else:
-        raise ValueError(mode)
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # <T_pad, T_pad>
 
-    # padded key columns must not receive probability mass
-    t_pad = scores.shape[-1]
-    if t_pad != t_real:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col < t_real, scores, NEG_INF)
+        if mode == "add":
+            scores = scores + mask_row[None, :]
+        elif mode == "mul":
+            scores = scores * mask_row[None, :]
+        else:
+            raise ValueError(mode)
 
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jax.lax.dot_general(
-        probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+        # padded key columns must not receive probability mass
+        t_pad = scores.shape[-1]
+        if t_pad != t_real:
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            scores = jnp.where(col < t_real, scores, NEG_INF)
+
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jax.lax.dot_general(
+            probs, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, head] = out.astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -86,16 +92,17 @@ def masked_attention(
     mask_row = mask_row.astype(jnp.float32)[:, None, :]
 
     kernel = functools.partial(
-        _attn_kernel, mode=mode, t_real=t, scale=1.0 / math.sqrt(d)
+        _attn_kernel, mode=mode, t_real=t, scale=1.0 / math.sqrt(d),
+        n_heads=h,
     )
     qkv_spec = pl.BlockSpec(
-        (1, 1, t_pad, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        (1, h, t_pad, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         kernel,
-        grid=(n, h),
+        grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, 1, t_pad), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, t_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             qkv_spec, qkv_spec, qkv_spec,
         ],

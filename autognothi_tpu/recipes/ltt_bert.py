@@ -25,6 +25,7 @@ from ..models.ltt_bert import (
     ltt_bert_explainer_fwd,
     ltt_bert_final_fwd,
     ltt_bert_progressive,
+    ltt_bert_surrogate_coalitions_fwd,
     ltt_bert_surrogate_fwd,
     ltt_bert_trainable,
 )
@@ -164,6 +165,14 @@ def fw_final(cfg, params, xs, **kw):
     return logits, attr
 
 
+def fw_surrogate_coalitions(cfg, params, xs, masks, **kw):
+    b, m = masks.shape[:2]
+    cls_col = jnp.ones((b, m, 1), dtype=masks.dtype)
+    full = jnp.concatenate([cls_col, masks], axis=-1)
+    ttype = jnp.zeros_like(xs)
+    return ltt_bert_surrogate_coalitions_fwd(params, cfg, xs, full, ttype, **kw)
+
+
 def fw_classifier_repr(cfg, params, xs, mask, **kw):
     xs, mask, ttype = vb.fw_xs_preprocess(xs, mask)
     srg_logits, _logits, obs = ltt_bert_surrogate_fwd(
@@ -208,7 +217,7 @@ def ltt_bert_recipe() -> ModelRecipe:
         fw_surrogate=fw_surrogate,
         fw_explainer=fw_explainer,
         fw_final=fw_final,
-        fw_surrogate_coalitions=None,  # TODO: embed-once fast path for LTT
+        fw_surrogate_coalitions=fw_surrogate_coalitions,
         measurements=ModelRecipe_Measurements(
             verify_final_coherency=True,
             allow_accuracy=True,

@@ -18,6 +18,7 @@ from ..models.ltt_vit import (
     ltt_vit_explainer_fwd,
     ltt_vit_final_fwd,
     ltt_vit_progressive,
+    ltt_vit_surrogate_coalitions_fwd,
     ltt_vit_surrogate_fwd,
     ltt_vit_trainable,
 )
@@ -149,6 +150,13 @@ def fw_final(cfg, params, xs, **kw):
     return logits, attr
 
 
+def fw_surrogate_coalitions(cfg, params, xs, masks, **kw):
+    b, m = masks.shape[:2]
+    cls_col = jnp.ones((b, m, 1), dtype=masks.dtype)
+    full = jnp.concatenate([cls_col, masks], axis=-1)
+    return ltt_vit_surrogate_coalitions_fwd(params, cfg, xs, full, **kw)
+
+
 def fw_classifier_repr(cfg, params, xs, mask, **kw):
     xs, mask = vv.fw_xs_preprocess(xs, mask)
     srg_logits, _logits, obs = ltt_vit_surrogate_fwd(params, cfg, xs, mask, **kw)
@@ -191,7 +199,7 @@ def ltt_vit_recipe() -> ModelRecipe:
         fw_surrogate=fw_surrogate,
         fw_explainer=fw_explainer,
         fw_final=fw_final,
-        fw_surrogate_coalitions=None,  # TODO: embed-once fast path for LTT
+        fw_surrogate_coalitions=fw_surrogate_coalitions,
         measurements=ModelRecipe_Measurements(
             verify_final_coherency=True,
             allow_accuracy=True,
