@@ -101,6 +101,39 @@ def shard_batch(tree, mesh: Mesh):
     return jax.tree.map(place, tree)
 
 
+def setup_data_parallel():
+    """Trainer helper: when >1 device is visible, return (mesh, place_params,
+    place_batch); on a single device return (None, identity, identity).
+
+    place_params replicates a flat param dict; place_batch shards every
+    array's leading axis along "data" when divisible by the mesh size (falls
+    back to replication for ragged final batches so the same compiled step
+    still runs)."""
+    n = len(jax.devices())
+    if n < 2:
+        identity = lambda tree: tree  # noqa: E731
+        return None, identity, identity
+    mesh = make_mesh(n, model_parallel=1)
+
+    def place_params(tree):
+        return replicate_params(tree, mesh) if isinstance(tree, dict) else (
+            jax.device_put(tree, NamedSharding(mesh, P()))
+        )
+
+    def place_batch(tree):
+        def place(x):
+            x = jnp.asarray(x)
+            if x.ndim and x.shape[0] % n == 0:
+                spec = P("data", *([None] * (x.ndim - 1)))
+            else:
+                spec = P(*([None] * x.ndim))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        return jax.tree.map(place, tree)
+
+    return mesh, place_params, place_batch
+
+
 def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray:
     """Edge-pad `axis` up to a multiple (static shapes for SPMD)."""
     size = arr.shape[axis]

@@ -59,6 +59,15 @@ def train_explainer(env: ExpEnv) -> None:
         env.log("[[[ explainer already trained ]]]")
         return
 
+    # multi-device: replicate params, shard the batch/coalition axis
+    from ..parallel.mesh import setup_data_parallel
+
+    mesh, place_params, place_batch = setup_data_parallel()
+    if mesh is not None:
+        env.log(f"[[[ data-parallel over {mesh.devices.size} devices ]]]")
+        params = place_params(params)
+        srg_params = place_params(srg_params)
+
     tx, opt_state = make_optimizer(params, recipe.trainable(m_config, "explainer"))
 
     # surrogate_null: surrogate on the all-on null input, computed once
@@ -130,7 +139,7 @@ def train_explainer(env: ExpEnv) -> None:
         for batch_idx, (_inputs, _targets) in enumerate(items):
             xs, _zs = gen_input(_inputs, _targets)
             batch = xs.shape[0]
-            xs = jnp.asarray(xs)
+            xs = place_batch(jnp.asarray(xs))
             mask_key = jax.random.fold_in(rng, 2 * batch_idx)
             step_rng = jax.random.fold_in(rng, 2 * batch_idx + 1)
             masks = mask_sampler(mask_key, batch)

@@ -47,6 +47,14 @@ def train_surrogate(env: ExpEnv) -> None:
         env.log("[[[ surrogate already trained ]]]")
         return
 
+    from ..parallel.mesh import setup_data_parallel
+
+    mesh, place_params, place_batch = setup_data_parallel()
+    if mesh is not None:
+        env.log(f"[[[ data-parallel over {mesh.devices.size} devices ]]]")
+        params = place_params(params)
+        cls_params = place_params(cls_params)
+
     tx, opt_state = make_optimizer(params, recipe.trainable(m_config, "surrogate"))
 
     is_ltt = recipe.progressive_trainable is not None
@@ -84,6 +92,7 @@ def train_surrogate(env: ExpEnv) -> None:
         for batch_idx, (_inputs, _targets) in enumerate(items):
             xs, zs = gen_input(_inputs, _targets)
             batch = xs.shape[0]
+            xs = place_batch(jnp.asarray(xs))
             mask_key = jax.random.fold_in(rng, 2 * batch_idx)
             step_rng = jax.random.fold_in(rng, 2 * batch_idx + 1)
             mask_1 = jnp.ones((batch, n_players), dtype=jnp.int32)
