@@ -79,7 +79,15 @@ def masked_attention(
     mode: str = "add",
     interpret: bool = False,
 ) -> jax.Array:
-    """-> <N, h, T, D> attention output with the mask fused in-kernel."""
+    """-> <N, h, T, D> attention output with the mask fused in-kernel.
+
+    Measured variants on 1x v5e (ViT-B/224 fw_final, XLA path = 795 expl/s):
+    v1 per-(row,head) grid, T padded to 128-quantum: 606; v2 per-row grid
+    with heads unrolled, padded: 668; v3 unpadded full-size blocks: 552
+    (unaligned [197, d] tiles cost more than the HBM padding copies).  This
+    is v2.  XLA still wins because it fuses the QKV projections and head
+    transpose into its attention while pallas_call forms a fusion barrier —
+    a winning kernel must swallow the projections too (future work)."""
     n, h, t, d = q.shape
     t_pad = max(_round_up(t, 128), 128)
     pad = t_pad - t
@@ -88,7 +96,7 @@ def masked_attention(
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
         mask_row = jnp.pad(mask_row, ((0, 0), (0, pad)))
-    # <N, 1, T_pad>: TPU block shapes need the trailing two dims tile-legal
+    # <N, 1, T_pad>: TPU block shapes need two trailing dims
     mask_row = mask_row.astype(jnp.float32)[:, None, :]
 
     kernel = functools.partial(
