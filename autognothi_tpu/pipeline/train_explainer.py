@@ -23,6 +23,7 @@ from ..utils.seeding import iterative_key, set_iterative_seed
 from .env import ExpEnv
 from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
 from .training import (
+    maybe_enable_debug_nans,
     cosine_lr,
     filter_mask,
     make_optimizer,
@@ -33,6 +34,7 @@ from .training import (
 
 def train_explainer(env: ExpEnv) -> None:
     env.log("[[[ train explainer ]]]")
+    maybe_enable_debug_nans()
     config = env.config
     recipe, m_config = get_recipe(config)
     if not recipe.training.support_explainer:

@@ -19,6 +19,7 @@ from ..utils.seeding import iterative_key, set_iterative_seed
 from .env import ExpEnv
 from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
 from .training import (
+    maybe_enable_debug_nans,
     cosine_lr,
     cross_entropy_on_probs,
     filter_mask,
@@ -30,6 +31,7 @@ from .training import (
 
 def train_surrogate(env: ExpEnv) -> None:
     env.log("[[[ train surrogate ]]]")
+    maybe_enable_debug_nans()
     config = env.config
     recipe, m_config = get_recipe(config)
     if not recipe.training.support_surrogate:

@@ -22,6 +22,7 @@ Design decisions (TPU-first re-design of the reference trainers):
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -34,6 +35,15 @@ from ..recipes.types import Params
 ADAMW_BETAS = (0.9, 0.999)
 ADAMW_EPS = 1e-8
 ADAMW_WEIGHT_DECAY = 1e-2
+
+
+def maybe_enable_debug_nans() -> None:
+    """JAX analogue of the reference's permanently-on
+    `torch.autograd.set_detect_anomaly(True)` (train_classifier.py:50):
+    NaN checking on every train op.  Opt-in via AUTOGNOTHI_DEBUG_NANS=1
+    because it disables async dispatch (large slowdown on TPU)."""
+    if os.environ.get("AUTOGNOTHI_DEBUG_NANS") == "1":
+        jax.config.update("jax_debug_nans", True)
 
 
 def cosine_lr(base_lr: float, epoch: int, total_epochs: int) -> float:
