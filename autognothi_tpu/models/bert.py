@@ -23,6 +23,7 @@ import pydantic
 
 from ..ops.shapley import normalize_shapley_explanation
 from .common import (
+    maybe_remat,
     Params,
     additive_mask_bias,
     dense,
@@ -252,7 +253,7 @@ def bert_encoder(
         return out, None
 
     idxs = jnp.arange(cfg.num_hidden_layers)
-    h, _ = jax.lax.scan(body, h, (stacked, idxs))
+    h, _ = jax.lax.scan(maybe_remat(body), h, (stacked, idxs))
     return h
 
 

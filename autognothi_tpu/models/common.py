@@ -238,6 +238,15 @@ def stack_layer_params(
     return out
 
 
+def maybe_remat(body):
+    """Wrap a scan body in jax.checkpoint when AUTOGNOTHI_REMAT=1 —
+    trades recompute for activation memory on deep/large models
+    (per-layer rematerialization, the standard transformer policy)."""
+    if os.environ.get("AUTOGNOTHI_REMAT") == "1":
+        return jax.checkpoint(body)
+    return body
+
+
 def cast_tree(params: Params, dtype) -> Params:
     return {k: v.astype(dtype) if jnp.issubdtype(v.dtype, jnp.floating) else v
             for k, v in params.items()}

@@ -31,6 +31,7 @@ from .bert import (
     _init_bert_layer,
 )
 from .common import (
+    maybe_remat,
     Params,
     additive_mask_bias,
     dense,
@@ -242,7 +243,7 @@ def ltt_bert_encoder(
     xs.append(main_stack)
     for maps, layers in side_stacks:
         xs.extend([maps, layers])
-    (h, sides), _ = jax.lax.scan(body, (emb, tuple(sides0)), tuple(xs))
+    (h, sides), _ = jax.lax.scan(maybe_remat(body), (emb, tuple(sides0)), tuple(xs))
     return h, list(sides)
 
 

@@ -16,6 +16,7 @@ import pydantic
 
 from ..ops.shapley import normalize_shapley_explanation
 from .common import (
+    maybe_remat,
     Params,
     dense,
     gelu,
@@ -236,7 +237,7 @@ def ltt_vit_backbone(
     xs = [jnp.arange(L), main_stack]
     for maps, layers in side_stacks:
         xs.extend([maps, layers])
-    (h, sides), _ = jax.lax.scan(body, (emb, tuple(sides0)), tuple(xs))
+    (h, sides), _ = jax.lax.scan(maybe_remat(body), (emb, tuple(sides0)), tuple(xs))
 
     h = layer_norm(h, vp["layernorm.weight"], vp["layernorm.bias"],
                    cfg.layer_norm_eps)
@@ -379,7 +380,7 @@ def ltt_vit_surrogate_coalitions_fwd(
         )
         return (h, side), None
 
-    (_, side), _ = jax.lax.scan(body, (emb, side0), (main_stack, maps, layers))
+    (_, side), _ = jax.lax.scan(maybe_remat(body), (emb, side0), (main_stack, maps, layers))
     side = layer_norm(
         side, vp["s_attn_layernorm.0.weight"], vp["s_attn_layernorm.0.bias"],
         cfg.layer_norm_eps,

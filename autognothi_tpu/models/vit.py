@@ -33,6 +33,7 @@ import pydantic
 
 from ..ops.shapley import normalize_shapley_explanation
 from .common import (
+    maybe_remat,
     Params,
     dense,
     dropout,
@@ -279,7 +280,7 @@ def vit_encoder(
         return out, None
 
     idxs = jnp.arange(cfg.num_hidden_layers)
-    h, _ = jax.lax.scan(body, h, (stacked, idxs))
+    h, _ = jax.lax.scan(maybe_remat(body), h, (stacked, idxs))
     return h
 
 
