@@ -60,6 +60,53 @@ class WordPieceTokenizer:
         self.unk_id = self.token_to_id[UNK]
         self.cls_id = self.token_to_id[CLS]
         self.sep_id = self.token_to_id[SEP]
+        self._native = None
+        self._native_handle = None
+
+    def _native_tokenizer(self):
+        """Lazily build/load the C++ WordPiece core (ASCII fast path)."""
+        if self._native is not None:
+            return self._native_handle
+        import ctypes
+
+        from ..native import build_and_load
+
+        self._native = build_and_load("wordpiece") or False
+        if self._native:
+            lib = self._native
+            lib.wp_create.restype = ctypes.c_void_p
+            lib.wp_create.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+            lib.wp_encode_batch.restype = ctypes.c_int64
+            lib.wp_encode_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.wp_destroy.argtypes = [ctypes.c_void_p]
+            blob = "\n".join(self.vocab).encode("utf-8")
+            handle = lib.wp_create(blob, len(blob))
+            self._native_handle = handle or None
+        return self._native_handle
+
+    def encode_batch_native(
+        self, texts: List[str], max_length: int
+    ) -> Optional[np.ndarray]:
+        """C++ batch encode; None when unavailable or any text is non-ASCII
+        (parity: the Python path strips accents, which ASCII never needs)."""
+        import ctypes
+
+        if not all(t.isascii() for t in texts):
+            return None
+        handle = self._native_tokenizer()
+        if handle is None:
+            return None
+        blob = b"\x00".join(t.encode() for t in texts) + b"\x00"
+        out = np.empty((len(texts), max_length), dtype=np.int64)
+        got = self._native.wp_encode_batch(
+            handle, blob, len(blob), len(texts), max_length,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return out if got == len(texts) else None
 
     @property
     def vocab_size(self) -> int:
@@ -166,6 +213,9 @@ def load_tokenizer(path: pathlib.Path):
 def encode_batch(tokenizer, texts: List[str], max_length: int) -> np.ndarray:
     """Uniform adapter: -> input_ids <B, max_length> for either tokenizer."""
     if isinstance(tokenizer, WordPieceTokenizer):
+        native = tokenizer.encode_batch_native(list(texts), max_length)
+        if native is not None:
+            return native
         return np.stack([tokenizer.encode(t, max_length)[0] for t in texts])
     enc = tokenizer(
         list(texts),
