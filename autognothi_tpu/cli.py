@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--into", type=pathlib.Path, required=True)
         p.add_argument("--limit", default=None, type=int)
 
+    p = cmd("serve")
+    p.add_argument("--host", default="127.0.0.1", type=str)
+    p.add_argument("--port", default=8321, type=int)
+    p.add_argument("--batch-size", dest="batch_size", default=8, type=int)
+
     cmd("__show_fridge__", device=False)
     p = cmd("__preview_text_shapley__", dataset=True)
     return parser
@@ -284,6 +289,10 @@ def main(argv: Optional[List[str]] = None) -> None:
 
         run_text_explanation(env, _override_loader(args, env.config),
                              args.into, args.limit)
+    elif command == "serve":
+        from .pipeline.serve import serve
+
+        serve(env, args.host, args.port, args.batch_size)
     elif command == "__show_fridge__":
         from .pipeline.show_fridge import show_fridge
 

@@ -1,0 +1,130 @@
+"""Explanation serving: a minimal production endpoint over the final model.
+
+Beyond the reference's file-based demos, this serves (logits, Shapley
+attributions) over HTTP with jit-stable fixed-shape batching: requests are
+padded up to the compiled batch size, so the server runs exactly one
+executable after warmup.
+
+    python ./main.py serve <experiment_dir> --port 8321 --batch-size 8
+
+    POST /explain {"texts": ["..."]}            # text models
+    POST /explain {"images": [[[...]]], ...}    # image models (<C, H, W>)
+    GET  /healthz
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .env import ExpEnv
+from .resources import get_recipe, load_epoch_model
+
+
+class ExplainService:
+    def __init__(self, env: ExpEnv, batch_size: int = 8):
+        self.env = env
+        self.batch_size = batch_size
+        self.recipe, self.m_config = get_recipe(env.config)
+        _, self.final_params = load_epoch_model(env, self.recipe, "final")
+        self.misc = self.recipe.load_misc(env.model_path, self.m_config)
+        self.gen_input = self.recipe.gen_input(self.m_config, self.misc)
+        self._fw = jax.jit(
+            lambda p, xs: self.recipe.fw_final(self.m_config, p, xs)
+        )
+
+    def warmup(self) -> None:
+        null = np.repeat(
+            np.asarray(self.recipe.gen_null(self.m_config, self.misc)),
+            self.batch_size, axis=0,
+        )
+        self._fw(self.final_params, jnp.asarray(null))
+
+    def explain(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        if "texts" in payload:
+            raw = list(payload["texts"])
+            xs, _ = self.gen_input(raw, [0] * len(raw))
+        elif "images" in payload:
+            xs = np.asarray(payload["images"], dtype=np.float32)
+        else:
+            raise ValueError("payload needs 'texts' or 'images'")
+        n = xs.shape[0]
+        if n == 0:
+            return {"logits": [], "attributions": []}
+
+        logits_all, attr_all = [], []
+        for start in range(0, n, self.batch_size):
+            chunk = np.asarray(xs[start : start + self.batch_size])
+            real = chunk.shape[0]
+            if real < self.batch_size:  # pad to the compiled shape
+                pad = np.repeat(chunk[-1:], self.batch_size - real, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            logits, attr = self._fw(self.final_params, jnp.asarray(chunk))
+            logits_all.append(np.asarray(logits)[:real])
+            attr_all.append(np.asarray(attr)[:real])
+        return {
+            "logits": np.concatenate(logits_all).tolist(),
+            "attributions": np.concatenate(attr_all).tolist(),
+        }
+
+
+def make_server(
+    service: ExplainService, host: str = "127.0.0.1", port: int = 8321
+) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _reply(self, code: int, body: Dict[str, Any]) -> None:
+            data = json.dumps(body).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok"})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/explain":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                self._reply(200, service.explain(payload))
+            except Exception as exc:  # noqa: BLE001 — surface to client
+                self._reply(400, {"error": str(exc)})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(env: ExpEnv, host: str, port: int, batch_size: int) -> None:
+    service = ExplainService(env, batch_size)
+    env.log("[[[ warming up the compiled explain step... ]]]")
+    service.warmup()
+    server = make_server(service, host, port)
+    env.log(f"[[[ serving explanations on http://{host}:{port} ]]]")
+    server.serve_forever()
+
+
+def serve_in_thread(
+    env: ExpEnv, host: str = "127.0.0.1", port: int = 0, batch_size: int = 4
+):
+    """Test helper: returns (server, service, thread); port 0 picks a free one."""
+    service = ExplainService(env, batch_size)
+    service.warmup()
+    server = make_server(service, host, port)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, service, thread
