@@ -47,6 +47,27 @@ def device_fence(x) -> None:
     np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
 
 
+class maybe_profile:
+    """Wrap a measurement region in a jax.profiler trace when
+    AUTOGNOTHI_PROFILE_DIR is set — the TPU analogue of the reference's
+    torch.profiler instrumentation (measure_performance.py:286-303)."""
+
+    def __init__(self, tag: str):
+        import os
+
+        self.dir = os.environ.get("AUTOGNOTHI_PROFILE_DIR")
+        self.tag = tag
+
+    def __enter__(self):
+        if self.dir:
+            jax.profiler.start_trace(f"{self.dir}/{self.tag}")
+        return self
+
+    def __exit__(self, *exc):
+        if self.dir:
+            jax.profiler.stop_trace()
+
+
 def timed_call(fn: Callable[[], Any]) -> float:
     t0 = time.perf_counter_ns()
     out = fn()
@@ -191,11 +212,12 @@ def measure_performance(
         _, fin_params = load_epoch_model(env, recipe, "final")
         fwd_fin = jax.jit(lambda p, xs: recipe.fw_final(m_config, p, xs))
         times, last = [], None
-        for xs, size in iterate_samples():
-            if last is None or last.shape != xs.shape:
-                fwd_fin(fin_params, xs)
-            times.append(timed_call(lambda: fwd_fin(fin_params, xs)) / size)
-            last = xs
+        with maybe_profile("fw_final"):
+            for xs, size in iterate_samples():
+                if last is None or last.shape != xs.shape:
+                    fwd_fin(fin_params, xs)
+                times.append(timed_call(lambda: fwd_fin(fin_params, xs)) / size)
+                last = xs
         gf = compiled_gflops(fwd_fin, fin_params, last)
         results_fin = _stat(
             times, gf, *_count_params(fin_params, recipe.trainable(m_config, "final"))
