@@ -23,7 +23,12 @@ def _apply_device(device: str) -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    # "tpu" / "cuda:*" / "" -> default platform (the accelerator)
+        return
+    # "tpu" / "cuda:*" / "" -> default platform (the accelerator); keep the
+    # host CPU backend available for surgery-heavy phases
+    from .utils.devices import ensure_cpu_backend
+
+    ensure_cpu_backend()
 
 
 def _env(model_path: pathlib.Path, logger=None):

@@ -52,6 +52,9 @@ class ExpEnv:
         self.model_path = pathlib.Path(model_path)
         self._get_logger_opts = get_logger_opts
         if not _forked:
+            from ..utils.devices import ensure_cpu_backend
+
+            ensure_cpu_backend()  # before any backend initializes
             with open(self.model_path / ".hparams.json", "r", encoding="utf-8") as f:
                 self.config = ExpConfig.model_validate(json.load(f))
             self._log_fd = open(

@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.devices import on_host
 from ..utils.seeding import iterative_key
 from .config import Config_Train
 from .env import ExpEnv
@@ -76,89 +77,93 @@ def train_all(env: ExpEnv) -> None:
 def conv_pretrained_classifier(env: ExpEnv) -> None:
     from ..zoo.loader import load_params
 
-    env.log("[[[ loading base params... ]]]")
-    config = env.config
-    recipe, m_config = get_recipe(config)
-    bundle, tokenizer = load_params(
-        config.net.base_model, num_labels=config.net.params.num_labels
-    )
+    with on_host():  # surgery on host: avoid tunnel RTTs
+        env.log("[[[ loading base params... ]]]")
+        config = env.config
+        recipe, m_config = get_recipe(config)
+        bundle, tokenizer = load_params(
+            config.net.base_model, num_labels=config.net.params.num_labels
+        )
 
-    env.log("[[[ converting base -> classifier {0}... ]]]")
-    key = iterative_key(config.seed, "conv_pretrained_classifier")
-    if bundle is None:  # random_init extension
-        params = recipe.init_classifier(key, m_config)
-    else:
-        params = recipe.conv_pretrained_classifier(m_config, bundle, key)
-    save_epoch_ckpt(env.model_path, "classifier", _STAGE0_TRAIN_CFG, 0, params)
-
-    if tokenizer is not None:
-        env.log("[[[ converting base tokenizer... ]]]")
-        tk_path = env.model_path / "tokenizer"
-        if hasattr(tokenizer, "save_pretrained"):
-            tokenizer.save_pretrained(str(tk_path))
+        env.log("[[[ converting base -> classifier {0}... ]]]")
+        key = iterative_key(config.seed, "conv_pretrained_classifier")
+        if bundle is None:  # random_init extension
+            params = recipe.init_classifier(key, m_config)
         else:
-            tokenizer.save(tk_path)
-    else:
-        env.log("[[[ skipped base misc ]]]")
-    env.log("[[[ convert base -> classifier {0} ok ]]]")
+            params = recipe.conv_pretrained_classifier(m_config, bundle, key)
+        save_epoch_ckpt(env.model_path, "classifier", _STAGE0_TRAIN_CFG, 0, params)
+
+        if tokenizer is not None:
+            env.log("[[[ converting base tokenizer... ]]]")
+            tk_path = env.model_path / "tokenizer"
+            if hasattr(tokenizer, "save_pretrained"):
+                tokenizer.save_pretrained(str(tk_path))
+            else:
+                tokenizer.save(tk_path)
+        else:
+            env.log("[[[ skipped base misc ]]]")
+        env.log("[[[ convert base -> classifier {0} ok ]]]")
 
 
 def conv_classifier_surrogate(env: ExpEnv) -> None:
-    env.log("[[[ loading classifier params... ]]]")
-    config = env.config
-    recipe, m_config = get_recipe(config)
-    m_misc = recipe.load_misc(env.model_path, m_config)
-    epoch_cls, cls_params = load_epoch_model(env, recipe, "classifier")
-    if epoch_cls < config.train_classifier.epochs:
-        raise ValueError("under-trained classifier")
+    with on_host():  # surgery on host: avoid tunnel RTTs
+        env.log("[[[ loading classifier params... ]]]")
+        config = env.config
+        recipe, m_config = get_recipe(config)
+        m_misc = recipe.load_misc(env.model_path, m_config)
+        epoch_cls, cls_params = load_epoch_model(env, recipe, "classifier")
+        if epoch_cls < config.train_classifier.epochs:
+            raise ValueError("under-trained classifier")
 
-    env.log(f"[[[ converting classifier {epoch_cls} -> surrogate 0... ]]]")
-    key = iterative_key(config.seed, "conv_classifier_surrogate")
-    params = recipe.conv_classifier_surrogate(m_config, m_misc, cls_params, key)
-    save_epoch_ckpt(env.model_path, "surrogate", config.train_surrogate, 0, params)
-    env.log(f"[[[ convert classifier {epoch_cls} -> surrogate 0 ok ]]]")
+        env.log(f"[[[ converting classifier {epoch_cls} -> surrogate 0... ]]]")
+        key = iterative_key(config.seed, "conv_classifier_surrogate")
+        params = recipe.conv_classifier_surrogate(m_config, m_misc, cls_params, key)
+        save_epoch_ckpt(env.model_path, "surrogate", config.train_surrogate, 0, params)
+        env.log(f"[[[ convert classifier {epoch_cls} -> surrogate 0 ok ]]]")
 
 
 def conv_surrogate_explainer(env: ExpEnv) -> None:
-    env.log("[[[ loading surrogate params... ]]]")
-    config = env.config
-    recipe, m_config = get_recipe(config)
-    m_misc = recipe.load_misc(env.model_path, m_config)
-    epoch_srg, srg_params = load_epoch_model(env, recipe, "surrogate")
-    if epoch_srg < config.train_surrogate.epochs:
-        raise ValueError("under-trained surrogate")
+    with on_host():  # surgery on host: avoid tunnel RTTs
+        env.log("[[[ loading surrogate params... ]]]")
+        config = env.config
+        recipe, m_config = get_recipe(config)
+        m_misc = recipe.load_misc(env.model_path, m_config)
+        epoch_srg, srg_params = load_epoch_model(env, recipe, "surrogate")
+        if epoch_srg < config.train_surrogate.epochs:
+            raise ValueError("under-trained surrogate")
 
-    env.log(f"[[[ converting surrogate {epoch_srg} -> explainer 0... ]]]")
-    key = iterative_key(config.seed, "conv_surrogate_explainer")
-    params = recipe.conv_surrogate_explainer(m_config, m_misc, srg_params, key)
-    save_epoch_ckpt(env.model_path, "explainer", config.train_explainer, 0, params)
-    env.log(f"[[[ convert surrogate {epoch_srg} -> explainer 0 ok ]]]")
+        env.log(f"[[[ converting surrogate {epoch_srg} -> explainer 0... ]]]")
+        key = iterative_key(config.seed, "conv_surrogate_explainer")
+        params = recipe.conv_surrogate_explainer(m_config, m_misc, srg_params, key)
+        save_epoch_ckpt(env.model_path, "explainer", config.train_explainer, 0, params)
+        env.log(f"[[[ convert surrogate {epoch_srg} -> explainer 0 ok ]]]")
 
 
 def conv_explainer_final(env: ExpEnv) -> None:
-    env.log("[[[ loading all params... ]]]")
-    config = env.config
-    recipe, m_config = get_recipe(config)
-    m_misc = recipe.load_misc(env.model_path, m_config)
-    epoch_cls, cls_params = load_epoch_model(env, recipe, "classifier")
-    epoch_srg, srg_params = load_epoch_model(env, recipe, "surrogate")
-    epoch_exp, exp_params = load_epoch_model(env, recipe, "explainer")
-    if epoch_cls < config.train_classifier.epochs:
-        raise ValueError("under-trained classifier")
-    if epoch_srg < config.train_surrogate.epochs:
-        raise ValueError("under-trained surrogate")
-    if epoch_exp < config.train_explainer.epochs:
-        raise ValueError("under-trained explainer")
+    with on_host():  # surgery on host: avoid tunnel RTTs
+        env.log("[[[ loading all params... ]]]")
+        config = env.config
+        recipe, m_config = get_recipe(config)
+        m_misc = recipe.load_misc(env.model_path, m_config)
+        epoch_cls, cls_params = load_epoch_model(env, recipe, "classifier")
+        epoch_srg, srg_params = load_epoch_model(env, recipe, "surrogate")
+        epoch_exp, exp_params = load_epoch_model(env, recipe, "explainer")
+        if epoch_cls < config.train_classifier.epochs:
+            raise ValueError("under-trained classifier")
+        if epoch_srg < config.train_surrogate.epochs:
+            raise ValueError("under-trained surrogate")
+        if epoch_exp < config.train_explainer.epochs:
+            raise ValueError("under-trained explainer")
 
-    env.log("[[[ converting models -> final 0... ]]]")
-    key = iterative_key(config.seed, "conv_explainer_final")
-    final_params = recipe.conv_explainer_final(
-        m_config, m_misc, cls_params, srg_params, exp_params, key
-    )
-    if not _verify_final_coherency(env, final_params):
-        raise ValueError("cannot save final model due to non-coherency")
-    save_epoch_ckpt(env.model_path, "final", _STAGE0_TRAIN_CFG, 0, final_params)
-    env.log("[[[ convert models -> final 0 ok ]]]")
+        env.log("[[[ converting models -> final 0... ]]]")
+        key = iterative_key(config.seed, "conv_explainer_final")
+        final_params = recipe.conv_explainer_final(
+            m_config, m_misc, cls_params, srg_params, exp_params, key
+        )
+        if not _verify_final_coherency(env, final_params):
+            raise ValueError("cannot save final model due to non-coherency")
+        save_epoch_ckpt(env.model_path, "final", _STAGE0_TRAIN_CFG, 0, final_params)
+        env.log("[[[ convert models -> final 0 ok ]]]")
 
 
 def _verify_final_coherency(env: ExpEnv, final_params) -> bool:
