@@ -76,12 +76,27 @@ def timed_call(fn: Callable[[], Any]) -> float:
 
 
 def compiled_gflops(jitted, *args) -> float:
-    """XLA cost analysis of the lowered executable."""
-    try:
+    """XLA cost analysis of the lowered executable.  Remote-tunnel platforms
+    report no cost model; fall back to analyzing the same program lowered
+    for the host CPU backend (identical HLO-level FLOPs)."""
+
+    def analyze() -> float:
         cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, list):  # older jax returns a per-device list
             cost = cost[0]
         return float(cost.get("flops", 0.0)) / 1e9
+
+    try:
+        flops = analyze()
+        if flops > 0:
+            return flops
+    except Exception:
+        pass
+    try:
+        from ..utils.devices import on_host
+
+        with on_host():
+            return analyze()
     except Exception:
         return 0.0
 
