@@ -63,6 +63,50 @@ def test_duo_vit_end_to_end_and_dual_task(tmp_path):
     assert all(-1.0 <= v <= 1.0 for v in report.cos_sim_avg)
 
 
+@pytest.mark.parametrize("kind", ["froyo_bert", "duo_vanilla_bert"])
+def test_bert_variant_end_to_end(tmp_path, kind):
+    import json as _json
+    import pathlib as _pathlib
+
+    import autognothi_tpu.data.loader as dl
+    from autognothi_tpu.data.tokenizer import WordPieceTokenizer, build_vocab
+    from autognothi_tpu.pipeline.env import ExpEnv
+    from autognothi_tpu.pipeline.train_all import train_all
+
+    hp = make_bert_hparams(0)
+    hp["net"]["kind"] = kind
+    exp = tmp_path / kind
+    exp.mkdir()
+    samples = _json.loads(
+        (_pathlib.Path(dl.__file__).parent / "nlp_samples.json").read_text()
+    )
+    vocab = build_vocab([s["inputs"] for s in samples], max_size=400)
+    WordPieceTokenizer(vocab).save(exp / "tokenizer")
+    hp["net"]["params"]["vocab_size"] = len(vocab)
+    (exp / ".hparams.json").write_text(_json.dumps(hp, indent=2))
+
+    env = ExpEnv(exp)
+    train_all(env)
+    assert (exp / "final-epoch-0.ckpt").exists()
+    log = (exp / ".log.txt").read_text()
+    if kind == "froyo_bert":
+        assert "verified final model is coherent" in log
+        import numpy as np
+
+        with np.load(exp / "final-epoch-0.ckpt") as data:
+            keys = set(data.files)
+        assert "srg_bert_pooler.dense.weight" in keys
+        assert not any(k.startswith("surrogate.bert.") for k in keys)
+    else:  # duo: no coherency check, no classifier branch in the final
+        assert "train duo explainer" in log
+        import numpy as np
+
+        with np.load(exp / "final-epoch-0.ckpt") as data:
+            keys = set(data.files)
+        assert not any(k.startswith("classifier.") for k in keys)
+        assert any(k.startswith("explainer.explainer_attn.") for k in keys)
+
+
 def test_kernel_shap_bert_end_to_end(tmp_path):
     import numpy as np
 
