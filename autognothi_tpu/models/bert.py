@@ -193,24 +193,49 @@ def _bert_layer_body(
     rng: Optional[jax.Array],
 ) -> jax.Array:
     """Post-norm BERT layer (vanilla_bert.py:410-427)."""
-    ctx = self_attention(
-        h,
-        layer["attention.self.query.weight"], layer["attention.self.query.bias"],
-        layer["attention.self.key.weight"], layer["attention.self.key.bias"],
-        layer["attention.self.value.weight"], layer["attention.self.value.bias"],
-        cfg.num_attention_heads,
-        mask_bias,
-        "additive",
-        attn_dropout=cfg.attention_probs_dropout_prob,
-        dropout_key=_rng(rng, 1),
-        deterministic=deterministic,
+    from .common import pallas_mode
+
+    dropout_off = deterministic or (
+        cfg.attention_probs_dropout_prob == 0.0
+        and cfg.hidden_dropout_prob == 0.0
     )
-    attn_out = dense(
-        ctx, layer["attention.output.dense.weight"],
-        layer["attention.output.dense.bias"],
-    )
-    attn_out = dropout(_rng(rng, 2), attn_out, cfg.hidden_dropout_prob, deterministic)
-    attn_out = attn_out + h
+    if pallas_mode() == "2" and dropout_off and mask_bias is not None \
+            and h.ndim == 3:
+        from ..ops.attention_block import attention_block
+
+        attn_out = attention_block(
+            h, h, mask_bias[:, 0, 0, :],
+            (layer["attention.self.query.weight"],
+             layer["attention.self.query.bias"],
+             layer["attention.self.key.weight"],
+             layer["attention.self.key.bias"],
+             layer["attention.self.value.weight"],
+             layer["attention.self.value.bias"],
+             layer["attention.output.dense.weight"],
+             layer["attention.output.dense.bias"]),
+            cfg.num_attention_heads, "add", use_pallas=True,
+        )
+    else:
+        ctx = self_attention(
+            h,
+            layer["attention.self.query.weight"], layer["attention.self.query.bias"],
+            layer["attention.self.key.weight"], layer["attention.self.key.bias"],
+            layer["attention.self.value.weight"], layer["attention.self.value.bias"],
+            cfg.num_attention_heads,
+            mask_bias,
+            "additive",
+            attn_dropout=cfg.attention_probs_dropout_prob,
+            dropout_key=_rng(rng, 1),
+            deterministic=deterministic,
+        )
+        attn_out = dense(
+            ctx, layer["attention.output.dense.weight"],
+            layer["attention.output.dense.bias"],
+        )
+        attn_out = dropout(
+            _rng(rng, 2), attn_out, cfg.hidden_dropout_prob, deterministic
+        )
+        attn_out = attn_out + h
     if not ident_ln1:
         attn_out = layer_norm(
             attn_out,

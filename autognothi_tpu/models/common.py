@@ -107,18 +107,22 @@ def additive_mask_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
 _PALLAS_FLAG = os.environ.get("AUTOGNOTHI_PALLAS", "0")
 
 
+def pallas_mode() -> str:
+    """Pallas dispatch mode (AUTOGNOTHI_PALLAS):
+    "0" (default) pure XLA — the numerical reference;
+    "1" attention-only kernel (ops/flash_attention.py; measured slower than
+        XLA at ViT-B shapes — kept for comparison);
+    "2" fused attention-block kernel (ops/attention_block.py: QKV + masked
+        attention + output projection + residual in one kernel)."""
+    if _PALLAS_FLAG in ("1", "2"):
+        from ..ops.flash_attention import pallas_available
+
+        return _PALLAS_FLAG if pallas_available() else "0"
+    return "0"
+
+
 def _pallas_attention_enabled() -> bool:
-    """Pallas masked-attention dispatch (AUTOGNOTHI_PALLAS=1 to enable).
-
-    Measured on ViT-B/224 fw_final, 1x v5e: XLA's fused attention currently
-    beats the v1 kernel (795.7 vs 606.6 explanations/s) — the per-(row,head)
-    grid is latency-bound and T=197 pads to 256.  Kept opt-in until the
-    kernel wins; the XLA path remains the numerical reference."""
-    if _PALLAS_FLAG != "1":
-        return False
-    from ..ops.flash_attention import pallas_available
-
-    return pallas_available()
+    return pallas_mode() == "1"
 
 
 def self_attention(

@@ -221,6 +221,8 @@ def _vit_layer_body(
     rng: Optional[jax.Array],
 ) -> jax.Array:
     """Pre-norm ViT layer (vanilla_vit.py:364-377)."""
+    from .common import pallas_mode
+
     if has_ln1:
         normed = layer_norm(
             h, layer["layernorm_before.weight"], layer["layernorm_before.bias"],
@@ -228,23 +230,43 @@ def _vit_layer_body(
         )
     else:
         normed = h
-    ctx = self_attention(
-        normed,
-        layer["attention.self.query.weight"], layer["attention.self.query.bias"],
-        layer["attention.self.key.weight"], layer["attention.self.key.bias"],
-        layer["attention.self.value.weight"], layer["attention.self.value.bias"],
-        cfg.num_attention_heads,
-        mask,
-        "multiplicative",
-        attn_dropout=cfg.attention_probs_dropout_prob,
-        dropout_key=_rng(rng, 1),
-        deterministic=deterministic,
+    dropout_off = deterministic or (
+        cfg.attention_probs_dropout_prob == 0.0
+        and cfg.hidden_dropout_prob == 0.0
     )
-    attn_out = dense(
-        ctx, layer["attention.output.dense.weight"], layer["attention.output.dense.bias"]
-    )
-    attn_out = dropout(_rng(rng, 2), attn_out, cfg.hidden_dropout_prob, deterministic)
-    h = h + attn_out
+    if pallas_mode() == "2" and dropout_off and mask is not None and h.ndim == 3:
+        from ..ops.attention_block import attention_block
+
+        h = attention_block(
+            normed, h, mask,
+            (layer["attention.self.query.weight"],
+             layer["attention.self.query.bias"],
+             layer["attention.self.key.weight"],
+             layer["attention.self.key.bias"],
+             layer["attention.self.value.weight"],
+             layer["attention.self.value.bias"],
+             layer["attention.output.dense.weight"],
+             layer["attention.output.dense.bias"]),
+            cfg.num_attention_heads, "mul", use_pallas=True,
+        )
+    else:
+        ctx = self_attention(
+            normed,
+            layer["attention.self.query.weight"], layer["attention.self.query.bias"],
+            layer["attention.self.key.weight"], layer["attention.self.key.bias"],
+            layer["attention.self.value.weight"], layer["attention.self.value.bias"],
+            cfg.num_attention_heads,
+            mask,
+            "multiplicative",
+            attn_dropout=cfg.attention_probs_dropout_prob,
+            dropout_key=_rng(rng, 1),
+            deterministic=deterministic,
+        )
+        attn_out = dense(
+            ctx, layer["attention.output.dense.weight"], layer["attention.output.dense.bias"]
+        )
+        attn_out = dropout(_rng(rng, 2), attn_out, cfg.hidden_dropout_prob, deterministic)
+        h = h + attn_out
     normed2 = layer_norm(
         h, layer["layernorm_after.weight"], layer["layernorm_after.bias"],
         cfg.layer_norm_eps,
