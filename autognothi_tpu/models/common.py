@@ -104,21 +104,28 @@ def additive_mask_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
     return bias[:, None, None, :]
 
 
-_PALLAS_FLAG = os.environ.get("AUTOGNOTHI_PALLAS", "0")
+_PALLAS_FLAG = os.environ.get("AUTOGNOTHI_PALLAS", "auto")
 
 
 def pallas_mode() -> str:
     """Pallas dispatch mode (AUTOGNOTHI_PALLAS):
-    "0" (default) pure XLA — the numerical reference;
+    "auto" (default): the fused attention-block kernel on TPU platforms,
+        pure XLA elsewhere;
+    "0" pure XLA — the numerical reference;
     "1" attention-only kernel (ops/flash_attention.py; measured slower than
         XLA at ViT-B shapes — kept for comparison);
     "2" fused attention-block kernel (ops/attention_block.py: QKV + masked
-        attention + output projection + residual in one kernel)."""
-    if _PALLAS_FLAG in ("1", "2"):
-        from ..ops.flash_attention import pallas_available
+        attention + output projection + residual in one kernel; measured
+        889.3 vs XLA 795.7 expl/s on ViT-B/224 fw_final, 1x v5e)."""
+    if _PALLAS_FLAG == "0":
+        return "0"
+    from ..ops.flash_attention import pallas_available
 
-        return _PALLAS_FLAG if pallas_available() else "0"
-    return "0"
+    if not pallas_available():
+        return "0"
+    if _PALLAS_FLAG in ("1", "2"):
+        return _PALLAS_FLAG
+    return "2"  # auto
 
 
 def _pallas_attention_enabled() -> bool:
