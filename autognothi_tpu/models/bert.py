@@ -243,13 +243,26 @@ def _bert_layer_body(
             layer["attention.output.LayerNorm.bias"],
             cfg.layer_norm_eps,
         )
-    inter = gelu(dense(
-        attn_out, layer["intermediate.dense.weight"], layer["intermediate.dense.bias"]
-    ))
-    out = dense(inter, layer["output.dense.weight"], layer["output.dense.bias"])
-    out = dropout(_rng(rng, 3), out, cfg.hidden_dropout_prob, deterministic)
+    if pallas_mode() == "2" and dropout_off and attn_out.ndim == 3:
+        from ..ops.mlp_block import mlp_block
+
+        pre_ln = mlp_block(
+            attn_out, attn_out,
+            layer["intermediate.dense.weight"], layer["intermediate.dense.bias"],
+            layer["output.dense.weight"], layer["output.dense.bias"],
+            use_pallas=True,
+        )
+    else:
+        inter = gelu(dense(
+            attn_out, layer["intermediate.dense.weight"],
+            layer["intermediate.dense.bias"],
+        ))
+        out = dense(inter, layer["output.dense.weight"],
+                    layer["output.dense.bias"])
+        out = dropout(_rng(rng, 3), out, cfg.hidden_dropout_prob, deterministic)
+        pre_ln = out + attn_out
     return layer_norm(
-        out + attn_out,
+        pre_ln,
         layer["output.LayerNorm.weight"],
         layer["output.LayerNorm.bias"],
         cfg.layer_norm_eps,

@@ -271,6 +271,15 @@ def _vit_layer_body(
         h, layer["layernorm_after.weight"], layer["layernorm_after.bias"],
         cfg.layer_norm_eps,
     )
+    if pallas_mode() == "2" and dropout_off and h.ndim == 3:
+        from ..ops.mlp_block import mlp_block
+
+        return mlp_block(
+            normed2, h,
+            layer["intermediate.dense.weight"], layer["intermediate.dense.bias"],
+            layer["output.dense.weight"], layer["output.dense.bias"],
+            use_pallas=True,
+        )
     inter = gelu(dense(
         normed2, layer["intermediate.dense.weight"], layer["intermediate.dense.bias"]
     ))

@@ -1,0 +1,118 @@
+"""Pallas TPU kernel: the transformer MLP block fused — up-projection, GELU,
+down-projection and the residual add in one kernel, weights VMEM-resident.
+
+Rationale mirrors ops/attention_block.py: on a bandwidth-bound chip the
+<B, T, 4H> intermediate costs a write+read round trip per layer (~310MB per
+ViT-B layer at B=128).  Fusing keeps it in VMEM; per layer the HBM traffic
+drops to read x (+resid) + weights (once) + write out.
+
+VMEM budget: w1+w2 at bf16 for H=768 is 9.4MB (+ <T, 4H> intermediate) —
+fits a v5e core; larger models (H>=1024) exceed VMEM and fall back to XLA
+automatically.
+
+Gradients: custom_vjp over the identical XLA math (recompute backward)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM cap for weights+activations (v5e has ~16MB/core).  ViT-B computes to
+# ~14MB and compiles; ViT-L (16.8MB weights alone) must fall back.
+_VMEM_BUDGET_BYTES = 15 * 1024 * 1024
+
+
+def _xla_mlp_block(x, resid, w1, b1, w2, b2):
+    """resid + W2 . gelu(W1 . x + b1) + b2, weights in (in, out) layout."""
+    inter = jnp.einsum("bti,io->bto", x, w1.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+    inter = jax.nn.gelu(inter + b1.astype(jnp.float32), approximate=False)
+    inter = inter.astype(x.dtype)
+    out = jnp.einsum("bti,io->bto", inter, w2.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    return resid + (out + b2.astype(jnp.float32)).astype(resid.dtype)
+
+
+def _kernel(x_ref, r_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    x = x_ref[0]  # <T, H>
+    inter = jax.lax.dot_general(
+        x, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0].astype(jnp.float32)
+    inter = jax.nn.gelu(inter, approximate=False).astype(x.dtype)
+    out = jax.lax.dot_general(
+        inter, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0].astype(jnp.float32)
+    o_ref[0] = r_ref[0] + out.astype(o_ref.dtype)
+
+
+def _pallas_mlp_block(x, resid, w1, b1, w2, b2, *, interpret: bool = False):
+    b, t, h = x.shape
+    inter_dim = w1.shape[1]
+    act_spec = pl.BlockSpec((1, t, h), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kernel,
+        grid=(b,),
+        in_specs=[
+            act_spec, act_spec,
+            pl.BlockSpec((h, inter_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, inter_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((inter_dim, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=act_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, h), resid.dtype),
+        interpret=interpret,
+    )(x, resid, w1, b1[None], w2, b2[None])
+
+
+@functools.lru_cache(maxsize=None)
+def _make_block_fn(interpret: bool):
+    @jax.custom_vjp
+    def block(x, resid, w1, b1, w2, b2):
+        return _pallas_mlp_block(x, resid, w1, b1, w2, b2,
+                                 interpret=interpret)
+
+    def fwd(*args):
+        return block(*args), args
+
+    def bwd(args, g):
+        _, vjp = jax.vjp(_xla_mlp_block, *args)
+        return vjp(g)
+
+    block.defvjp(fwd, bwd)
+    return block
+
+
+def _fits_vmem(x, w1) -> bool:
+    t, h = x.shape[-2], x.shape[-1]
+    inter = w1.shape[0]
+    itemsize = jnp.dtype(x.dtype).itemsize
+    weights = 2 * h * inter * itemsize
+    acts = t * inter * (4 + itemsize) + 3 * t * h * itemsize
+    return weights + acts < _VMEM_BUDGET_BYTES
+
+
+def mlp_block(
+    x: jax.Array,  # <B, T, H> MLP input (pre-normed where applicable)
+    resid: jax.Array,  # <B, T, H> residual branch
+    w1: jax.Array,  # torch layout <inter, H>
+    b1: jax.Array,
+    w2: jax.Array,  # torch layout <H, inter>
+    b2: jax.Array,
+    use_pallas: bool,
+    interpret: bool = False,
+) -> jax.Array:
+    args = (x, resid, w1.T.astype(x.dtype), b1, w2.T.astype(x.dtype), b2)
+    if use_pallas and _fits_vmem(x, w1):
+        return _make_block_fn(interpret)(*args)
+    return _xla_mlp_block(*args)
