@@ -37,13 +37,19 @@ def _xla_mlp_block(x, resid, w1, b1, w2, b2):
     return resid + (out + b2.astype(jnp.float32)).astype(resid.dtype)
 
 
+def _gelu_exact(x):
+    """0.5 x (1 + erf(x/sqrt(2))) — jax.nn.gelu(approximate=False) lowers
+    through erfc, which Pallas TPU doesn't implement; erf does."""
+    return 0.5 * x * (1.0 + jax.lax.erf(x * (2.0 ** -0.5)))
+
+
 def _kernel(x_ref, r_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     x = x_ref[0]  # <T, H>
     inter = jax.lax.dot_general(
         x, w1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b1_ref[0].astype(jnp.float32)
-    inter = jax.nn.gelu(inter, approximate=False).astype(x.dtype)
+    inter = _gelu_exact(inter).astype(x.dtype)
     out = jax.lax.dot_general(
         inter, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
