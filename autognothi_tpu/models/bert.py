@@ -199,12 +199,19 @@ def _bert_layer_body(
         cfg.attention_probs_dropout_prob == 0.0
         and cfg.hidden_dropout_prob == 0.0
     )
-    if pallas_mode() == "2" and dropout_off and mask_bias is not None \
-            and h.ndim == 3:
+    fused = pallas_mode() == "2" and dropout_off and mask_bias is not None \
+        and h.ndim == 3
+    if fused:
         from ..ops.attention_block import attention_block
+        from ..ops.mlp_block import mlp_block
 
+        ln1 = (
+            None if ident_ln1 else
+            (layer["attention.output.LayerNorm.weight"],
+             layer["attention.output.LayerNorm.bias"], cfg.layer_norm_eps)
+        )
         attn_out = attention_block(
-            h, h, mask_bias[:, 0, 0, :],
+            h, mask_bias[:, 0, 0, :],
             (layer["attention.self.query.weight"],
              layer["attention.self.query.bias"],
              layer["attention.self.key.weight"],
@@ -214,28 +221,38 @@ def _bert_layer_body(
              layer["attention.output.dense.weight"],
              layer["attention.output.dense.bias"]),
             cfg.num_attention_heads, "add", use_pallas=True,
+            ln=ln1, ln_position="epilogue",
         )
-    else:
-        ctx = self_attention(
-            h,
-            layer["attention.self.query.weight"], layer["attention.self.query.bias"],
-            layer["attention.self.key.weight"], layer["attention.self.key.bias"],
-            layer["attention.self.value.weight"], layer["attention.self.value.bias"],
-            cfg.num_attention_heads,
-            mask_bias,
-            "additive",
-            attn_dropout=cfg.attention_probs_dropout_prob,
-            dropout_key=_rng(rng, 1),
-            deterministic=deterministic,
+        return mlp_block(
+            attn_out,
+            layer["intermediate.dense.weight"], layer["intermediate.dense.bias"],
+            layer["output.dense.weight"], layer["output.dense.bias"],
+            use_pallas=True,
+            ln=(layer["output.LayerNorm.weight"],
+                layer["output.LayerNorm.bias"], cfg.layer_norm_eps),
+            ln_position="epilogue",
         )
-        attn_out = dense(
-            ctx, layer["attention.output.dense.weight"],
-            layer["attention.output.dense.bias"],
-        )
-        attn_out = dropout(
-            _rng(rng, 2), attn_out, cfg.hidden_dropout_prob, deterministic
-        )
-        attn_out = attn_out + h
+
+    ctx = self_attention(
+        h,
+        layer["attention.self.query.weight"], layer["attention.self.query.bias"],
+        layer["attention.self.key.weight"], layer["attention.self.key.bias"],
+        layer["attention.self.value.weight"], layer["attention.self.value.bias"],
+        cfg.num_attention_heads,
+        mask_bias,
+        "additive",
+        attn_dropout=cfg.attention_probs_dropout_prob,
+        dropout_key=_rng(rng, 1),
+        deterministic=deterministic,
+    )
+    attn_out = dense(
+        ctx, layer["attention.output.dense.weight"],
+        layer["attention.output.dense.bias"],
+    )
+    attn_out = dropout(
+        _rng(rng, 2), attn_out, cfg.hidden_dropout_prob, deterministic
+    )
+    attn_out = attn_out + h
     if not ident_ln1:
         attn_out = layer_norm(
             attn_out,
@@ -243,24 +260,14 @@ def _bert_layer_body(
             layer["attention.output.LayerNorm.bias"],
             cfg.layer_norm_eps,
         )
-    if pallas_mode() == "2" and dropout_off and attn_out.ndim == 3:
-        from ..ops.mlp_block import mlp_block
-
-        pre_ln = mlp_block(
-            attn_out, attn_out,
-            layer["intermediate.dense.weight"], layer["intermediate.dense.bias"],
-            layer["output.dense.weight"], layer["output.dense.bias"],
-            use_pallas=True,
-        )
-    else:
-        inter = gelu(dense(
-            attn_out, layer["intermediate.dense.weight"],
-            layer["intermediate.dense.bias"],
-        ))
-        out = dense(inter, layer["output.dense.weight"],
-                    layer["output.dense.bias"])
-        out = dropout(_rng(rng, 3), out, cfg.hidden_dropout_prob, deterministic)
-        pre_ln = out + attn_out
+    inter = gelu(dense(
+        attn_out, layer["intermediate.dense.weight"],
+        layer["intermediate.dense.bias"],
+    ))
+    out = dense(inter, layer["output.dense.weight"],
+                layer["output.dense.bias"])
+    out = dropout(_rng(rng, 3), out, cfg.hidden_dropout_prob, deterministic)
+    pre_ln = out + attn_out
     return layer_norm(
         pre_ln,
         layer["output.LayerNorm.weight"],

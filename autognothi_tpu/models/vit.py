@@ -223,22 +223,23 @@ def _vit_layer_body(
     """Pre-norm ViT layer (vanilla_vit.py:364-377)."""
     from .common import pallas_mode
 
-    if has_ln1:
-        normed = layer_norm(
-            h, layer["layernorm_before.weight"], layer["layernorm_before.bias"],
-            cfg.layer_norm_eps,
-        )
-    else:
-        normed = h
     dropout_off = deterministic or (
         cfg.attention_probs_dropout_prob == 0.0
         and cfg.hidden_dropout_prob == 0.0
     )
-    if pallas_mode() == "2" and dropout_off and mask is not None and h.ndim == 3:
+    fused = pallas_mode() == "2" and dropout_off and mask is not None \
+        and h.ndim == 3
+    if fused:
         from ..ops.attention_block import attention_block
+        from ..ops.mlp_block import mlp_block
 
+        ln1 = (
+            (layer["layernorm_before.weight"], layer["layernorm_before.bias"],
+             cfg.layer_norm_eps)
+            if has_ln1 else None
+        )
         h = attention_block(
-            normed, h, mask,
+            h, mask,
             (layer["attention.self.query.weight"],
              layer["attention.self.query.bias"],
              layer["attention.self.key.weight"],
@@ -248,38 +249,46 @@ def _vit_layer_body(
              layer["attention.output.dense.weight"],
              layer["attention.output.dense.bias"]),
             cfg.num_attention_heads, "mul", use_pallas=True,
+            ln=ln1, ln_position="prologue",
+        )
+        return mlp_block(
+            h,
+            layer["intermediate.dense.weight"], layer["intermediate.dense.bias"],
+            layer["output.dense.weight"], layer["output.dense.bias"],
+            use_pallas=True,
+            ln=(layer["layernorm_after.weight"], layer["layernorm_after.bias"],
+                cfg.layer_norm_eps),
+            ln_position="prologue",
+        )
+
+    if has_ln1:
+        normed = layer_norm(
+            h, layer["layernorm_before.weight"], layer["layernorm_before.bias"],
+            cfg.layer_norm_eps,
         )
     else:
-        ctx = self_attention(
-            normed,
-            layer["attention.self.query.weight"], layer["attention.self.query.bias"],
-            layer["attention.self.key.weight"], layer["attention.self.key.bias"],
-            layer["attention.self.value.weight"], layer["attention.self.value.bias"],
-            cfg.num_attention_heads,
-            mask,
-            "multiplicative",
-            attn_dropout=cfg.attention_probs_dropout_prob,
-            dropout_key=_rng(rng, 1),
-            deterministic=deterministic,
-        )
-        attn_out = dense(
-            ctx, layer["attention.output.dense.weight"], layer["attention.output.dense.bias"]
-        )
-        attn_out = dropout(_rng(rng, 2), attn_out, cfg.hidden_dropout_prob, deterministic)
-        h = h + attn_out
+        normed = h
+    ctx = self_attention(
+        normed,
+        layer["attention.self.query.weight"], layer["attention.self.query.bias"],
+        layer["attention.self.key.weight"], layer["attention.self.key.bias"],
+        layer["attention.self.value.weight"], layer["attention.self.value.bias"],
+        cfg.num_attention_heads,
+        mask,
+        "multiplicative",
+        attn_dropout=cfg.attention_probs_dropout_prob,
+        dropout_key=_rng(rng, 1),
+        deterministic=deterministic,
+    )
+    attn_out = dense(
+        ctx, layer["attention.output.dense.weight"], layer["attention.output.dense.bias"]
+    )
+    attn_out = dropout(_rng(rng, 2), attn_out, cfg.hidden_dropout_prob, deterministic)
+    h = h + attn_out
     normed2 = layer_norm(
         h, layer["layernorm_after.weight"], layer["layernorm_after.bias"],
         cfg.layer_norm_eps,
     )
-    if pallas_mode() == "2" and dropout_off and h.ndim == 3:
-        from ..ops.mlp_block import mlp_block
-
-        return mlp_block(
-            normed2, h,
-            layer["intermediate.dense.weight"], layer["intermediate.dense.bias"],
-            layer["output.dense.weight"], layer["output.dense.bias"],
-            use_pallas=True,
-        )
     inter = gelu(dense(
         normed2, layer["intermediate.dense.weight"], layer["intermediate.dense.bias"]
     ))

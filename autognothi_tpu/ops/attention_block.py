@@ -1,6 +1,7 @@
-"""Pallas TPU kernel: the full attention block fused — QKV projections,
-per-head masked attention, output projection and the residual add in ONE
-kernel, with the weights resident in VMEM across the batch grid.
+"""Pallas TPU kernel: the full attention block fused — optional LayerNorm
+(prologue or epilogue), QKV projections, per-head masked attention, output
+projection and the residual add in ONE kernel, with weights resident in VMEM
+across the batch grid.
 
 Why: on this chip the model is HBM-bandwidth-bound and XLA materializes the
 <B, h, T, T> scores (measured: 634MB temp pool for ViT-B fwd at B=128, vs
@@ -8,11 +9,14 @@ Why: on this chip the model is HBM-bandwidth-bound and XLA materializes the
 (ops/flash_attention.py) lost because pallas_call is a fusion barrier: XLA
 had to materialize q/k/v in split-head layout first.  This kernel takes the
 <B, T, H> hidden states directly, so per layer the only HBM traffic is
-read x (+residual) + write out + the one-time weight blocks.
+read x + write out + the one-time weight blocks.
+
+LayerNorm fusion: "prologue" computes x_attn = LN(resid) in-kernel (the ViT
+pre-norm — saves materializing the normed tensor AND its extra read);
+"epilogue" applies LN to the residual sum (the BERT post-norm).
 
 Layouts: activations stay <T, H> (full 128-lane tiles at H>=128); heads are
-sliced in-register.  Weights are passed pre-transposed to (in, out) so the
-projections are plain row-major matmuls.
+sliced in-register.  Weights are passed pre-transposed to (in, out).
 
 Gradients: custom_vjp — forward runs the kernel, backward differentiates the
 identical XLA math (recompute; per-layer rematerialization comes free).
@@ -22,7 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,12 +36,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+def _ln32(x, w, b, eps):
+    """LayerNorm with fp32 statistics (mirrors models.common.layer_norm)."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    normed = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (normed * w.astype(jnp.float32) + b.astype(jnp.float32)).astype(dtype)
+
+
 def _xla_attention_block(
-    x_attn, resid, mask_row, wq, bq, wk, bk, wv, bv, wo, bo,
-    *, n_heads: int, mode: str,
+    resid, mask_row, wq, bq, wk, bk, wv, bv, wo, bo, ln_w, ln_b,
+    *, n_heads: int, mode: str, ln_position: str, ln_eps: float,
 ):
-    """Reference math (identical to models.common.self_attention + output
-    dense + residual), weights in (in, out) layout."""
+    """Reference math, weights in (in, out) layout.  ln_position in
+    {"prologue", "epilogue", "none"} (ln_w/ln_b ignored for "none")."""
+    if ln_position == "prologue":
+        x_attn = _ln32(resid, ln_w, ln_b, ln_eps)
+    else:
+        x_attn = resid
     t, h = x_attn.shape[-2], x_attn.shape[-1]
     d = h // n_heads
     scale = 1.0 / math.sqrt(d)
@@ -63,14 +81,20 @@ def _xla_attention_block(
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b_sz, t, h)
     out = jnp.einsum("bti,io->bto", ctx, wo.astype(ctx.dtype),
                      preferred_element_type=jnp.float32)
-    out = out + bo.astype(jnp.float32)
-    return resid + out.astype(resid.dtype)
+    out = resid + (out + bo.astype(jnp.float32)).astype(resid.dtype)
+    if ln_position == "epilogue":
+        out = _ln32(out, ln_w, ln_b, ln_eps)
+    return out
 
 
-def _kernel(mask_ref, x_ref, r_ref, wq_ref, bq_ref, wk_ref, bk_ref,
-            wv_ref, bv_ref, wo_ref, bo_ref, o_ref,
-            *, n_heads: int, mode: str):
-    x = x_ref[0]  # <T, H>
+def _kernel(mask_ref, r_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+            wv_ref, bv_ref, wo_ref, bo_ref, lnw_ref, lnb_ref, o_ref,
+            *, n_heads: int, mode: str, ln_position: str, ln_eps: float):
+    resid = r_ref[0]  # <T, H>
+    if ln_position == "prologue":
+        x = _ln32(resid, lnw_ref[0], lnb_ref[0], ln_eps)
+    else:
+        x = resid
     t, h = x.shape
     d = h // n_heads
     scale = 1.0 / math.sqrt(d)
@@ -110,14 +134,18 @@ def _kernel(mask_ref, x_ref, r_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         ctx, wo_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bo_ref[0].astype(jnp.float32)
-    o_ref[0] = r_ref[0] + out.astype(o_ref.dtype)
+    out = resid + out.astype(resid.dtype)
+    if ln_position == "epilogue":
+        out = _ln32(out, lnw_ref[0], lnb_ref[0], ln_eps)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def _pallas_attention_block(
-    x_attn, resid, mask_row, wq, bq, wk, bk, wv, bv, wo, bo,
-    *, n_heads: int, mode: str, interpret: bool = False,
+    resid, mask_row, wq, bq, wk, bk, wv, bv, wo, bo, ln_w, ln_b,
+    *, n_heads: int, mode: str, ln_position: str, ln_eps: float,
+    interpret: bool = False,
 ):
-    b, t, h = x_attn.shape
+    b, t, h = resid.shape
     mask3 = mask_row.astype(jnp.float32)[:, None, :]
 
     act_spec = pl.BlockSpec((1, t, h), lambda i: (i, 0, 0),
@@ -126,32 +154,39 @@ def _pallas_attention_block(
     w_spec = pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
     b_spec = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_kernel, n_heads=n_heads, mode=mode)
+    kernel = functools.partial(
+        _kernel, n_heads=n_heads, mode=mode, ln_position=ln_position,
+        ln_eps=ln_eps,
+    )
     return pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            act_spec, act_spec,
+            act_spec,
             w_spec, b_spec, w_spec, b_spec, w_spec, b_spec, w_spec, b_spec,
+            b_spec, b_spec,
         ],
         out_specs=act_spec,
         out_shape=jax.ShapeDtypeStruct((b, t, h), resid.dtype),
         interpret=interpret,
-    )(mask3, x_attn, resid, wq, bq[None], wk, bk[None], wv, bv[None],
-      wo, bo[None])
+    )(mask3, resid, wq, bq[None], wk, bk[None], wv, bv[None],
+      wo, bo[None], ln_w[None], ln_b[None])
 
 
 @functools.lru_cache(maxsize=None)
-def _make_block_fn(n_heads: int, mode: str, interpret: bool):
-    xla = functools.partial(_xla_attention_block, n_heads=n_heads, mode=mode)
+def _make_block_fn(n_heads: int, mode: str, ln_position: str, ln_eps: float,
+                   interpret: bool):
+    xla = functools.partial(_xla_attention_block, n_heads=n_heads, mode=mode,
+                            ln_position=ln_position, ln_eps=ln_eps)
 
     @jax.custom_vjp
-    def block(x_attn, resid, mask_row, wq, bq, wk, bk, wv, bv, wo, bo):
+    def block(resid, mask_row, wq, bq, wk, bk, wv, bv, wo, bo, ln_w, ln_b):
         return _pallas_attention_block(
-            x_attn, resid, mask_row, wq, bq, wk, bk, wv, bv, wo, bo,
-            n_heads=n_heads, mode=mode, interpret=interpret,
+            resid, mask_row, wq, bq, wk, bk, wv, bv, wo, bo, ln_w, ln_b,
+            n_heads=n_heads, mode=mode, ln_position=ln_position,
+            ln_eps=ln_eps, interpret=interpret,
         )
 
     def fwd(*args):
@@ -166,21 +201,37 @@ def _make_block_fn(n_heads: int, mode: str, interpret: bool):
 
 
 def attention_block(
-    x_attn: jax.Array,  # <B, T, H> attention input (pre-normed for ViT)
-    resid: jax.Array,  # <B, T, H> residual branch
+    resid: jax.Array,  # <B, T, H> residual branch (= attention input unless
+    # a prologue LN is fused)
     mask_row: jax.Array,  # <B, T> additive bias values or 0/1 multiplicative
     weights: Tuple[jax.Array, ...],  # (wq,bq,wk,bk,wv,bv,wo,bo), torch layout
     n_heads: int,
     mode: str,
     use_pallas: bool,
+    ln: Optional[Tuple[jax.Array, jax.Array, float]] = None,
+    ln_position: str = "none",  # "prologue" (pre-norm) | "epilogue" (post)
     interpret: bool = False,
 ) -> jax.Array:
-    """-> resid + OutProj(MaskedAttention(x_attn)).  Weights in torch
-    (out, in) layout are transposed at trace time (free under jit)."""
+    """-> residual-attended block output with optional fused LayerNorm.
+
+    prologue: resid + OutProj(Attn(LN(resid)));
+    epilogue: LN(resid + OutProj(Attn(resid)));
+    none:     resid + OutProj(Attn(resid)).
+    Weights in torch (out, in) layout are transposed at trace time."""
     wq, bq, wk, bk, wv, bv, wo, bo = weights
-    args = (x_attn, resid, mask_row,
-            wq.T.astype(x_attn.dtype), bq, wk.T.astype(x_attn.dtype), bk,
-            wv.T.astype(x_attn.dtype), bv, wo.T.astype(x_attn.dtype), bo)
+    if ln is None:
+        ln_w = jnp.ones((resid.shape[-1],), resid.dtype)
+        ln_b = jnp.zeros((resid.shape[-1],), resid.dtype)
+        ln_eps = 1e-12
+        ln_position = "none"
+    else:
+        ln_w, ln_b, ln_eps = ln
+    args = (resid, mask_row,
+            wq.T.astype(resid.dtype), bq, wk.T.astype(resid.dtype), bk,
+            wv.T.astype(resid.dtype), bv, wo.T.astype(resid.dtype), bo,
+            ln_w, ln_b)
     if use_pallas:
-        return _make_block_fn(n_heads, mode, interpret)(*args)
-    return _xla_attention_block(*args, n_heads=n_heads, mode=mode)
+        return _make_block_fn(n_heads, mode, ln_position, float(ln_eps),
+                              interpret)(*args)
+    return _xla_attention_block(*args, n_heads=n_heads, mode=mode,
+                                ln_position=ln_position, ln_eps=float(ln_eps))

@@ -1,10 +1,10 @@
-"""Pallas TPU kernel: the transformer MLP block fused — up-projection, GELU,
-down-projection and the residual add in one kernel, weights VMEM-resident.
+"""Pallas TPU kernel: the transformer MLP block fused — optional LayerNorm
+(prologue or epilogue), up-projection, GELU, down-projection and the
+residual add in one kernel, weights VMEM-resident.
 
 Rationale mirrors ops/attention_block.py: on a bandwidth-bound chip the
 <B, T, 4H> intermediate costs a write+read round trip per layer (~310MB per
-ViT-B layer at B=128).  Fusing keeps it in VMEM; per layer the HBM traffic
-drops to read x (+resid) + weights (once) + write out.
+ViT-B layer at B=128); fused LNs remove two more activation round trips.
 
 VMEM budget: w1+w2 at bf16 for H=768 is 9.4MB (+ <T, 4H> intermediate) —
 fits a v5e core; larger models (H>=1024) exceed VMEM and fall back to XLA
@@ -15,26 +15,18 @@ Gradients: custom_vjp over the identical XLA math (recompute backward)."""
 from __future__ import annotations
 
 import functools
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .attention_block import _ln32
+
 # VMEM cap for weights+activations (v5e has ~16MB/core).  ViT-B computes to
 # ~14MB and compiles; ViT-L (16.8MB weights alone) must fall back.
 _VMEM_BUDGET_BYTES = 15 * 1024 * 1024
-
-
-def _xla_mlp_block(x, resid, w1, b1, w2, b2):
-    """resid + W2 . gelu(W1 . x + b1) + b2, weights in (in, out) layout."""
-    inter = jnp.einsum("bti,io->bto", x, w1.astype(x.dtype),
-                       preferred_element_type=jnp.float32)
-    inter = jax.nn.gelu(inter + b1.astype(jnp.float32), approximate=False)
-    inter = inter.astype(x.dtype)
-    out = jnp.einsum("bti,io->bto", inter, w2.astype(x.dtype),
-                     preferred_element_type=jnp.float32)
-    return resid + (out + b2.astype(jnp.float32)).astype(resid.dtype)
 
 
 def _erf_approx(x):
@@ -57,8 +49,29 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf_approx(x * (2.0 ** -0.5)))
 
 
-def _kernel(x_ref, r_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
-    x = x_ref[0]  # <T, H>
+def _xla_mlp_block(resid, w1, b1, w2, b2, ln_w, ln_b,
+                   *, ln_position: str, ln_eps: float):
+    """LN? -> W1 -> gelu -> W2 -> +resid -> LN? (weights (in, out) layout)."""
+    x = _ln32(resid, ln_w, ln_b, ln_eps) if ln_position == "prologue" else resid
+    inter = jnp.einsum("bti,io->bto", x, w1.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+    inter = jax.nn.gelu(inter + b1.astype(jnp.float32), approximate=False)
+    inter = inter.astype(x.dtype)
+    out = jnp.einsum("bti,io->bto", inter, w2.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    out = resid + (out + b2.astype(jnp.float32)).astype(resid.dtype)
+    if ln_position == "epilogue":
+        out = _ln32(out, ln_w, ln_b, ln_eps)
+    return out
+
+
+def _kernel(r_ref, w1_ref, b1_ref, w2_ref, b2_ref, lnw_ref, lnb_ref, o_ref,
+            *, ln_position: str, ln_eps: float):
+    resid = r_ref[0]  # <T, H>
+    if ln_position == "prologue":
+        x = _ln32(resid, lnw_ref[0], lnb_ref[0], ln_eps)
+    else:
+        x = resid
     inter = jax.lax.dot_general(
         x, w1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -68,71 +81,96 @@ def _kernel(x_ref, r_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
         inter, w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b2_ref[0].astype(jnp.float32)
-    o_ref[0] = r_ref[0] + out.astype(o_ref.dtype)
+    out = resid + out.astype(resid.dtype)
+    if ln_position == "epilogue":
+        out = _ln32(out, lnw_ref[0], lnb_ref[0], ln_eps)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _pallas_mlp_block(x, resid, w1, b1, w2, b2, *, interpret: bool = False):
-    b, t, h = x.shape
+def _pallas_mlp_block(resid, w1, b1, w2, b2, ln_w, ln_b,
+                      *, ln_position: str, ln_eps: float,
+                      interpret: bool = False):
+    b, t, h = resid.shape
     inter_dim = w1.shape[1]
     act_spec = pl.BlockSpec((1, t, h), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    h_vec = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel, ln_position=ln_position,
+                               ln_eps=ln_eps)
     return pl.pallas_call(
-        _kernel,
+        kernel,
         grid=(b,),
         in_specs=[
-            act_spec, act_spec,
+            act_spec,
             pl.BlockSpec((h, inter_dim), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, inter_dim), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((inter_dim, h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            h_vec, h_vec, h_vec,
         ],
         out_specs=act_spec,
         out_shape=jax.ShapeDtypeStruct((b, t, h), resid.dtype),
         interpret=interpret,
-    )(x, resid, w1, b1[None], w2, b2[None])
+    )(resid, w1, b1[None], w2, b2[None], ln_w[None], ln_b[None])
 
 
 @functools.lru_cache(maxsize=None)
-def _make_block_fn(interpret: bool):
+def _make_block_fn(ln_position: str, ln_eps: float, interpret: bool):
+    xla = functools.partial(_xla_mlp_block, ln_position=ln_position,
+                            ln_eps=ln_eps)
+
     @jax.custom_vjp
-    def block(x, resid, w1, b1, w2, b2):
-        return _pallas_mlp_block(x, resid, w1, b1, w2, b2,
+    def block(resid, w1, b1, w2, b2, ln_w, ln_b):
+        return _pallas_mlp_block(resid, w1, b1, w2, b2, ln_w, ln_b,
+                                 ln_position=ln_position, ln_eps=ln_eps,
                                  interpret=interpret)
 
     def fwd(*args):
         return block(*args), args
 
     def bwd(args, g):
-        _, vjp = jax.vjp(_xla_mlp_block, *args)
+        _, vjp = jax.vjp(xla, *args)
         return vjp(g)
 
     block.defvjp(fwd, bwd)
     return block
 
 
-def _fits_vmem(x, w1) -> bool:
-    t, h = x.shape[-2], x.shape[-1]
+def _fits_vmem(resid, w1) -> bool:
+    t, h = resid.shape[-2], resid.shape[-1]
     inter = w1.shape[0]
-    itemsize = jnp.dtype(x.dtype).itemsize
+    itemsize = jnp.dtype(resid.dtype).itemsize
     weights = 2 * h * inter * itemsize
     acts = t * inter * (4 + itemsize) + 3 * t * h * itemsize
     return weights + acts < _VMEM_BUDGET_BYTES
 
 
 def mlp_block(
-    x: jax.Array,  # <B, T, H> MLP input (pre-normed where applicable)
-    resid: jax.Array,  # <B, T, H> residual branch
+    resid: jax.Array,  # <B, T, H> residual branch (= MLP input unless a
+    # prologue LN is fused)
     w1: jax.Array,  # torch layout <inter, H>
     b1: jax.Array,
     w2: jax.Array,  # torch layout <H, inter>
     b2: jax.Array,
     use_pallas: bool,
+    ln: Optional[Tuple[jax.Array, jax.Array, float]] = None,
+    ln_position: str = "none",
     interpret: bool = False,
 ) -> jax.Array:
-    args = (x, resid, w1.T.astype(x.dtype), b1, w2.T.astype(x.dtype), b2)
-    if use_pallas and _fits_vmem(x, w1):
-        return _make_block_fn(interpret)(*args)
-    return _xla_mlp_block(*args)
+    """prologue: resid + MLP(LN(resid)); epilogue: LN(resid + MLP(resid));
+    none: resid + MLP(resid)."""
+    if ln is None:
+        ln_w = jnp.ones((resid.shape[-1],), resid.dtype)
+        ln_b = jnp.zeros((resid.shape[-1],), resid.dtype)
+        ln_eps = 1e-12
+        ln_position = "none"
+    else:
+        ln_w, ln_b, ln_eps = ln
+    args = (resid, w1.T.astype(resid.dtype), b1, w2.T.astype(resid.dtype),
+            b2, ln_w, ln_b)
+    if use_pallas and _fits_vmem(resid, w1):
+        return _make_block_fn(ln_position, float(ln_eps), interpret)(*args)
+    return _xla_mlp_block(*args, ln_position=ln_position,
+                          ln_eps=float(ln_eps))

@@ -1,14 +1,12 @@
 """Fused attention-block kernel: interpret-mode parity vs the XLA math and
-the existing self_attention composition, plus gradient parity (custom_vjp)."""
-
-import math
+the existing self_attention composition, LN fusion modes, and gradients."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from autognothi_tpu.models.common import dense, self_attention
+from autognothi_tpu.models.common import dense, layer_norm, self_attention
 from autognothi_tpu.ops.attention_block import (
     _make_block_fn,
     _xla_attention_block,
@@ -16,9 +14,8 @@ from autognothi_tpu.ops.attention_block import (
 )
 
 
-def _setup(mode, t=13, h=32, n_heads=4, b=2, seed=0):
+def _setup(mode, t=13, h=32, b=2, seed=0):
     rng = np.random.RandomState(seed)
-    x = jnp.asarray(rng.randn(b, t, h), jnp.float32)
     resid = jnp.asarray(rng.randn(b, t, h), jnp.float32)
     weights = tuple(
         jnp.asarray(a * 0.15, jnp.float32) for a in (
@@ -26,60 +23,75 @@ def _setup(mode, t=13, h=32, n_heads=4, b=2, seed=0):
             rng.randn(h, h), rng.randn(h), rng.randn(h, h), rng.randn(h),
         )
     )
+    ln = (jnp.asarray(1 + 0.1 * rng.randn(h), jnp.float32),
+          jnp.asarray(0.1 * rng.randn(h), jnp.float32), 1e-12)
     mask01 = rng.randint(0, 2, (b, t)).astype(np.float32)
     mask01[:, 0] = 1
     if mode == "add":
         row = jnp.asarray((1 - mask01) * float(jnp.finfo(jnp.float32).min))
     else:
         row = jnp.asarray(mask01)
-    return x, resid, row, weights
+    return resid, row, weights, ln
 
 
 @pytest.mark.parametrize("mode", ["add", "mul"])
 def test_xla_math_matches_composition(mode):
-    x, resid, row, weights = _setup(mode)
+    resid, row, weights, ln = _setup(mode)
     wq, bq, wk, bk, wv, bv, wo, bo = weights
-    got = attention_block(x, resid, row, weights, 4, mode, use_pallas=False)
 
+    # prologue LN (ViT pre-norm semantics)
+    got = attention_block(resid, row, weights, 4, mode, use_pallas=False,
+                          ln=ln, ln_position="prologue")
+    normed = layer_norm(resid, ln[0], ln[1], ln[2])
     mask = row[:, None, None, :] if mode == "add" else row
-    ctx = self_attention(x, wq, bq, wk, bk, wv, bv, 4, mask,
+    ctx = self_attention(normed, wq, bq, wk, bk, wv, bv, 4, mask,
                          "additive" if mode == "add" else "multiplicative")
     want = resid + dense(ctx, wo, bo)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-5)
 
+    # epilogue LN (BERT post-norm semantics)
+    got = attention_block(resid, row, weights, 4, mode, use_pallas=False,
+                          ln=ln, ln_position="epilogue")
+    ctx = self_attention(resid, wq, bq, wk, bk, wv, bv, 4, mask,
+                         "additive" if mode == "add" else "multiplicative")
+    want = layer_norm(resid + dense(ctx, wo, bo), ln[0], ln[1], ln[2])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
 
 @pytest.mark.parametrize("mode", ["add", "mul"])
-def test_kernel_matches_xla_math(mode):
-    x, resid, row, weights = _setup(mode, t=8, h=32)
+@pytest.mark.parametrize("ln_position", ["none", "prologue", "epilogue"])
+def test_kernel_matches_xla_math(mode, ln_position):
+    resid, row, weights, ln = _setup(mode, t=8, h=32)
     wq, bq, wk, bk, wv, bv, wo, bo = weights
-    args = (x, resid, row,
-            wq.T, bq, wk.T, bk, wv.T, bv, wo.T, bo)
-    got = _make_block_fn(4, mode, True)(*args)
-    want = _xla_attention_block(*args, n_heads=4, mode=mode)
+    args = (resid, row, wq.T, bq, wk.T, bk, wv.T, bv, wo.T, bo, ln[0], ln[1])
+    got = _make_block_fn(4, mode, ln_position, 1e-12, True)(*args)
+    want = _xla_attention_block(*args, n_heads=4, mode=mode,
+                                ln_position=ln_position, ln_eps=1e-12)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-5)
 
 
 def test_gradients_flow_through_custom_vjp():
-    x, resid, row, weights = _setup("add", t=8, h=32)
+    resid, row, weights, ln = _setup("add", t=8, h=32)
     wq, bq, wk, bk, wv, bv, wo, bo = weights
 
-    def loss_kernel(x_, wq_):
-        out = _make_block_fn(4, "add", True)(
-            x_, resid, row, wq_.T, bq, wk.T, bk, wv.T, bv, wo.T, bo
+    def loss_kernel(r_, wq_):
+        out = _make_block_fn(4, "add", "epilogue", 1e-12, True)(
+            r_, row, wq_.T, bq, wk.T, bk, wv.T, bv, wo.T, bo, ln[0], ln[1]
         )
         return jnp.sum(out ** 2)
 
-    def loss_xla(x_, wq_):
+    def loss_xla(r_, wq_):
         out = _xla_attention_block(
-            x_, resid, row, wq_.T, bq, wk.T, bk, wv.T, bv, wo.T, bo,
-            n_heads=4, mode="add",
+            r_, row, wq_.T, bq, wk.T, bk, wv.T, bv, wo.T, bo, ln[0], ln[1],
+            n_heads=4, mode="add", ln_position="epilogue", ln_eps=1e-12,
         )
         return jnp.sum(out ** 2)
 
-    g_k = jax.grad(loss_kernel, argnums=(0, 1))(x, wq)
-    g_x = jax.grad(loss_xla, argnums=(0, 1))(x, wq)
+    g_k = jax.grad(loss_kernel, argnums=(0, 1))(resid, wq)
+    g_x = jax.grad(loss_xla, argnums=(0, 1))(resid, wq)
     for a, b in zip(g_k, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=1e-4)
