@@ -18,7 +18,7 @@ import time
 
 A100_TORCH_EST_EXPL_PER_SEC = 450.0
 
-BATCH = 32
+BATCH = int(__import__("os").environ.get("AUTOGNOTHI_BENCH_BATCH", "64"))
 WARMUP = 3
 ITERS = 10
 
