@@ -122,7 +122,13 @@ def masked_attention(
 
 
 def pallas_available() -> bool:
+    """True when the *effective default device* is a TPU — honors
+    `jax.default_device(cpu)` contexts (weight surgery runs on host where
+    compiled Pallas is unsupported)."""
     try:
+        default = jax.config.jax_default_device
+        if default is not None:
+            return getattr(default, "platform", "") in ("tpu", "axon")
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
