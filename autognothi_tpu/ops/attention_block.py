@@ -200,6 +200,17 @@ def _make_block_fn(n_heads: int, mode: str, ln_position: str, ln_eps: float,
     return block
 
 
+_VMEM_BUDGET_BYTES = 15 * 1024 * 1024
+
+
+def _fits_vmem(resid) -> bool:
+    t, h = resid.shape[-2], resid.shape[-1]
+    itemsize = jnp.dtype(resid.dtype).itemsize
+    weights = 4 * h * h * itemsize
+    acts = 6 * t * h * itemsize + t * t * 4
+    return weights + acts < _VMEM_BUDGET_BYTES
+
+
 def attention_block(
     resid: jax.Array,  # <B, T, H> residual branch (= attention input unless
     # a prologue LN is fused)
@@ -230,7 +241,7 @@ def attention_block(
             wq.T.astype(resid.dtype), bq, wk.T.astype(resid.dtype), bk,
             wv.T.astype(resid.dtype), bv, wo.T.astype(resid.dtype), bo,
             ln_w, ln_b)
-    if use_pallas:
+    if use_pallas and _fits_vmem(resid):
         return _make_block_fn(n_heads, mode, ln_position, float(ln_eps),
                               interpret)(*args)
     return _xla_attention_block(*args, n_heads=n_heads, mode=mode,

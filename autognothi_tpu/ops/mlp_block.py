@@ -160,7 +160,8 @@ def mlp_block(
     interpret: bool = False,
 ) -> jax.Array:
     """prologue: resid + MLP(LN(resid)); epilogue: LN(resid + MLP(resid));
-    none: resid + MLP(resid)."""
+    none: resid + MLP(resid).  Models whose weights exceed the VMEM budget
+    fall back to the XLA math (inter-dim tiling: see ROADMAP.md)."""
     if ln is None:
         ln_w = jnp.ones((resid.shape[-1],), resid.dtype)
         ln_b = jnp.zeros((resid.shape[-1],), resid.dtype)
