@@ -138,7 +138,28 @@ def save_params(file: pathlib.Path, params: Params) -> None:
         np.savez(f, **arrays)
 
 
+def _is_torch_archive(file: pathlib.Path) -> bool:
+    """npz and torch checkpoints are both zip files; torch's carries a
+    `data.pkl` entry."""
+    import zipfile
+
+    if not zipfile.is_zipfile(file):
+        return False
+    with zipfile.ZipFile(file) as z:
+        return any(name.endswith("data.pkl") for name in z.namelist())
+
+
 def load_params_file(file: pathlib.Path) -> Dict[str, np.ndarray]:
+    """Load a checkpoint: npz (native) or a torch-saved state dict — the
+    migration path for checkpoints trained with the torch reference (their
+    key layout matches ours by construction, see models/*)."""
+    if _is_torch_archive(file):
+        import torch
+
+        obj = torch.load(file, map_location="cpu", weights_only=False)
+        if hasattr(obj, "state_dict"):
+            obj = obj.state_dict()
+        return {k: v.detach().cpu().numpy() for k, v in obj.items()}
     with np.load(file, allow_pickle=False) as data:
         return {k: data[k] for k in data.files}
 
