@@ -82,12 +82,13 @@ def loss_shapley(
     """FastSHAP-style weighted regression: n_players * MSE(v0 + mask.phi, v_s)."""
     del v_1
     batch, n_mask_samples, n_players = mask.shape
-    values_pred = jnp.swapaxes(phi, 1, 2)  # <batch, n_players, n_classes>
-    approx = v_0.reshape(1, 1, -1) + jnp.einsum(
-        "bmp,bpc->bmc", mask.astype(values_pred.dtype), values_pred
+    # regression math in fp32 regardless of (possibly bf16) network outputs
+    values_pred = jnp.swapaxes(phi, 1, 2).astype(jnp.float32)
+    approx = v_0.astype(jnp.float32).reshape(1, 1, -1) + jnp.einsum(
+        "bmp,bpc->bmc", mask.astype(jnp.float32), values_pred
     )
     approx = approx.reshape(batch * n_mask_samples, -1)
-    return n_players * jnp.mean((approx - v_s) ** 2)
+    return n_players * jnp.mean((approx - v_s.astype(jnp.float32)) ** 2)
 
 
 def normalize_shapley_explanation(

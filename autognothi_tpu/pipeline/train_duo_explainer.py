@@ -16,6 +16,7 @@ from ..utils.seeding import iterative_key, set_iterative_seed
 from .env import ExpEnv
 from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
 from .training import (
+    cast_input,
     maybe_enable_debug_nans,
     cosine_lr,
     cross_entropy_on_probs,
@@ -96,7 +97,7 @@ def train_duo_explainer(env: ExpEnv) -> None:
         for batch_idx, (_inputs, _targets) in enumerate(items):
             xs, zs = gen_input(_inputs, _targets)
             batch = xs.shape[0]
-            xs, zs = jnp.asarray(xs), jnp.asarray(zs)
+            xs, zs = cast_input(jnp.asarray(xs)), jnp.asarray(zs)
             mask_key = jax.random.fold_in(rng, 2 * batch_idx)
             step_rng = jax.random.fold_in(rng, 2 * batch_idx + 1)
             masks = mask_shapley(mask_key, batch * n_mask_samples, n_players)

@@ -19,6 +19,7 @@ from ..utils.seeding import iterative_key, set_iterative_seed
 from .env import ExpEnv
 from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
 from .training import (
+    cast_input,
     maybe_enable_debug_nans,
     cosine_lr,
     cross_entropy_on_probs,
@@ -94,7 +95,7 @@ def train_surrogate(env: ExpEnv) -> None:
         for batch_idx, (_inputs, _targets) in enumerate(items):
             xs, zs = gen_input(_inputs, _targets)
             batch = xs.shape[0]
-            xs = place_batch(jnp.asarray(xs))
+            xs = place_batch(cast_input(jnp.asarray(xs)))
             mask_key = jax.random.fold_in(rng, 2 * batch_idx)
             step_rng = jax.random.fold_in(rng, 2 * batch_idx + 1)
             mask_1 = jnp.ones((batch, n_players), dtype=jnp.int32)

@@ -37,6 +37,22 @@ ADAMW_EPS = 1e-8
 ADAMW_WEIGHT_DECAY = 1e-2
 
 
+def compute_dtype():
+    """Mixed-precision training: AUTOGNOTHI_COMPUTE_DTYPE=bfloat16 casts
+    float *inputs* to bf16 so the whole network computes in bf16 (fp32
+    layernorm/softmax statistics and fp32 matmul accumulation are built into
+    the model primitives); params and optimizer state stay fp32."""
+    name = os.environ.get("AUTOGNOTHI_COMPUTE_DTYPE", "float32")
+    return jnp.bfloat16 if name in ("bf16", "bfloat16") else jnp.float32
+
+
+def cast_input(xs: jax.Array) -> jax.Array:
+    """Apply the compute dtype to floating-point inputs (token ids pass)."""
+    if jnp.issubdtype(xs.dtype, jnp.floating):
+        return xs.astype(compute_dtype())
+    return xs
+
+
 def maybe_enable_debug_nans() -> None:
     """JAX analogue of the reference's permanently-on
     `torch.autograd.set_detect_anomaly(True)` (train_classifier.py:50):
