@@ -138,6 +138,95 @@ def _make_block_fn(ln_position: str, ln_eps: float, interpret: bool):
     return block
 
 
+# ------------------------- separate-input variant (for inter-dim splits)
+
+
+def _xla_mlp_sepx(x, resid, w1, b1, w2, b2):
+    inter = jnp.einsum("bti,io->bto", x, w1.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+    inter = jax.nn.gelu(inter + b1.astype(jnp.float32), approximate=False)
+    inter = inter.astype(x.dtype)
+    out = jnp.einsum("bti,io->bto", inter, w2.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    return resid + (out + b2.astype(jnp.float32)).astype(resid.dtype)
+
+
+def _kernel_sepx(x_ref, r_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+    x = x_ref[0]
+    inter = jax.lax.dot_general(
+        x, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0].astype(jnp.float32)
+    inter = _gelu_exact(inter).astype(x.dtype)
+    out = jax.lax.dot_general(
+        inter, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0].astype(jnp.float32)
+    o_ref[0] = r_ref[0] + out.astype(o_ref.dtype)
+
+
+def _pallas_mlp_sepx(x, resid, w1, b1, w2, b2, *, interpret=False):
+    b, t, h = resid.shape
+    inter_dim = w1.shape[1]
+    act_spec = pl.BlockSpec((1, t, h), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kernel_sepx,
+        grid=(b,),
+        in_specs=[
+            act_spec, act_spec,
+            pl.BlockSpec((h, inter_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, inter_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((inter_dim, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=act_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, h), resid.dtype),
+        interpret=interpret,
+    )(x, resid, w1, b1[None], w2, b2[None])
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sepx_fn(interpret: bool):
+    @jax.custom_vjp
+    def block(x, resid, w1, b1, w2, b2):
+        return _pallas_mlp_sepx(x, resid, w1, b1, w2, b2,
+                                interpret=interpret)
+
+    def fwd(*args):
+        return block(*args), args
+
+    def bwd(args, g):
+        _, vjp = jax.vjp(_xla_mlp_sepx, *args)
+        return vjp(g)
+
+    block.defvjp(fwd, bwd)
+    return block
+
+
+def _tiled_mlp(resid, w1_t, b1, w2_t, b2, ln_w, ln_b, ln_position, ln_eps,
+               n_tiles, interpret):
+    """Inter-dim split: MLP(x) = sum_k W2_k . gelu(W1_k . x + b1_k) + b2,
+    chained through separate-input kernels so the (possibly LN'd) input stays
+    fixed while the residual accumulates.  Weights arrive pre-transposed
+    (in, out)."""
+    x = _ln32(resid, ln_w, ln_b, ln_eps) if ln_position == "prologue" else resid
+    inter = w1_t.shape[1]
+    tile = inter // n_tiles
+    out = resid
+    fn = _make_sepx_fn(interpret)
+    for k in range(n_tiles):
+        sl = slice(k * tile, (k + 1) * tile)
+        b2_k = b2 if k == n_tiles - 1 else jnp.zeros_like(b2)
+        out = fn(x, out, w1_t[:, sl], b1[sl], w2_t[sl, :], b2_k)
+    if ln_position == "epilogue":
+        out = _ln32(out, ln_w, ln_b, ln_eps)
+    return out
+
+
 def _fits_vmem(resid, w1) -> bool:
     t, h = resid.shape[-2], resid.shape[-1]
     inter = w1.shape[0]
@@ -160,8 +249,10 @@ def mlp_block(
     interpret: bool = False,
 ) -> jax.Array:
     """prologue: resid + MLP(LN(resid)); epilogue: LN(resid + MLP(resid));
-    none: resid + MLP(resid).  Models whose weights exceed the VMEM budget
-    fall back to the XLA math (inter-dim tiling: see ROADMAP.md)."""
+    none: resid + MLP(resid).  When the weights exceed the VMEM budget, the
+    intermediate dimension is split across chained separate-input kernels
+    (valid because GELU is elementwise per intermediate unit); pathological
+    shapes fall back to XLA."""
     if ln is None:
         ln_w = jnp.ones((resid.shape[-1],), resid.dtype)
         ln_b = jnp.zeros((resid.shape[-1],), resid.dtype)
@@ -171,7 +262,14 @@ def mlp_block(
         ln_w, ln_b, ln_eps = ln
     args = (resid, w1.T.astype(resid.dtype), b1, w2.T.astype(resid.dtype),
             b2, ln_w, ln_b)
-    if use_pallas and _fits_vmem(resid, w1):
-        return _make_block_fn(ln_position, float(ln_eps), interpret)(*args)
+    if use_pallas:
+        if _fits_vmem(resid, w1):
+            return _make_block_fn(ln_position, float(ln_eps), interpret)(*args)
+        for n_tiles in (2, 4, 8):
+            if w1.shape[0] % n_tiles == 0 and _fits_vmem(
+                resid, w1[: w1.shape[0] // n_tiles]
+            ):
+                return _tiled_mlp(*args, ln_position, float(ln_eps),
+                                  n_tiles, interpret)
     return _xla_mlp_block(*args, ln_position=ln_position,
                           ln_eps=float(ln_eps))

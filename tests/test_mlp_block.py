@@ -146,3 +146,27 @@ def test_full_layer_fused_matches_unfused(family, monkeypatch):
 
     np.testing.assert_allclose(np.asarray(fused), np.asarray(plain),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_tiled_split_matches_xla(monkeypatch):
+    """ViT-L-like shapes route through the inter-dim split and match XLA."""
+    import autognothi_tpu.ops.mlp_block as mb
+
+    resid, w1, b1, w2, b2, ln = _setup(t=9, h=32, inter=128)
+    # force the split path: budget so small only quarter tiles fit
+    full = 2 * 32 * 128 * 4
+    monkeypatch.setattr(mb, "_VMEM_BUDGET_BYTES", full // 2)
+    orig = mb._pallas_mlp_sepx
+    monkeypatch.setattr(
+        mb, "_pallas_mlp_sepx",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    mb._make_sepx_fn.cache_clear()
+
+    for ln_position in ("none", "prologue", "epilogue"):
+        got = mb.mlp_block(resid, w1, b1, w2, b2, use_pallas=True,
+                           ln=ln, ln_position=ln_position)
+        want = mb._xla_mlp_block(resid, w1.T, b1, w2.T, b2, ln[0], ln[1],
+                                 ln_position=ln_position, ln_eps=1e-12)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=1e-4)
