@@ -168,7 +168,7 @@ def measure_performance(
         for xs, size in iterate_samples():
             mask_1 = jnp.ones((xs.shape[0], n_players), jnp.int32)
             if last is None or last.shape != xs.shape:
-                fwd(cls_params, xs, mask_1)  # warm the executable
+                device_fence(fwd(cls_params, xs, mask_1))  # warm + fence
             times.append(timed_call(lambda: fwd(cls_params, xs, mask_1)) / size)
             last = xs
         gf = compiled_gflops(fwd, cls_params, last,
@@ -198,7 +198,7 @@ def measure_performance(
             mask_1 = jnp.ones((xs.shape[0], n_players), jnp.int32)
             if last is None or last.shape != xs.shape:
                 g = fwd_srg(srg_params, xs, mask_1)
-                fwd_exp(exp_params, xs, mask_1, g)
+                device_fence(fwd_exp(exp_params, xs, mask_1, g))
             grand_box = []
             t_srg.append(
                 timed_call(
@@ -230,7 +230,7 @@ def measure_performance(
         with maybe_profile("fw_final"):
             for xs, size in iterate_samples():
                 if last is None or last.shape != xs.shape:
-                    fwd_fin(fin_params, xs)
+                    device_fence(fwd_fin(fin_params, xs))
                 times.append(timed_call(lambda: fwd_fin(fin_params, xs)) / size)
                 last = xs
         gf = compiled_gflops(fwd_fin, fin_params, last)
