@@ -92,10 +92,12 @@ class WordPieceTokenizer:
         self, texts: List[str], max_length: int
     ) -> Optional[np.ndarray]:
         """C++ batch encode; None when unavailable or any text is non-ASCII
-        (parity: the Python path strips accents, which ASCII never needs)."""
+        (parity: the Python path strips accents, which ASCII never needs).
+        NUL is the record separator in the wire blob, so texts containing
+        it also fall back to the Python path."""
         import ctypes
 
-        if not all(t.isascii() for t in texts):
+        if not all(t.isascii() and "\x00" not in t for t in texts):
             return None
         handle = self._native_tokenizer()
         if handle is None:

@@ -80,10 +80,6 @@ def _sample_coalitions(
     for s in range(1, half + 1):
         paired = (s != m - s) and (m - s) <= m - 1
         count = math.comb(m, s) * (2 if paired else 1)
-        share = size_w[s - 1] * (2 if paired and (m - s) != s else 1)
-        if count > remaining * max(share / max(remaining_w, 1e-12), 1e-12) * 1.2 \
-                and count > remaining:
-            break
         if count > remaining:
             break
         for combo in itertools.combinations(range(m), s):

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from ..ops.shapley import loss_shapley, mask_shapley
-from ..recipes.types import ModelRecipe, Params
+from ..recipes.types import ModelRecipe, Params, surrogate_coalition_values
 
 
 def make_explainer_train_step(
@@ -36,15 +36,7 @@ def make_explainer_train_step(
     def teacher(srg_params: Params, xs, masks_bmp):
         b = masks_bmp.shape[0]
         mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
-        if recipe.fw_surrogate_coalitions is not None:
-            v_s = recipe.fw_surrogate_coalitions(m_config, srg_params, xs, masks_bmp)
-            v_s = v_s.reshape(b * n_mask_samples, -1)
-        else:
-            xs_ext = jnp.repeat(xs, n_mask_samples, axis=0)
-            v_s, _ = recipe.fw_surrogate(
-                m_config, srg_params, xs_ext,
-                masks_bmp.reshape(b * n_mask_samples, n_players),
-            )
+        v_s = surrogate_coalition_values(recipe, m_config, srg_params, xs, masks_bmp)
         v_1, _ = recipe.fw_surrogate(m_config, srg_params, xs, mask_1)
         return v_s, v_1
 

@@ -21,6 +21,7 @@ import numpy as np
 import pydantic
 
 from ..data.loader import DatasetLoader
+from ..recipes.types import surrogate_coalition_values
 from .env import ExpEnv
 from .resources import get_recipe, load_cfg_dataset, load_epoch_model
 
@@ -115,14 +116,7 @@ def measure_faithfulness(
         n_classes = attr.shape[0]
         masks0 = perturbation_masks(attr, stops, mask_base)  # <C, S, P>
         flat = masks0.reshape(1, n_classes * steps, n_players)
-        if recipe.fw_surrogate_coalitions is not None:
-            probs = recipe.fw_surrogate_coalitions(m_config, srg_p, xs, flat)
-            probs = probs.reshape(n_classes * steps, -1)
-        else:
-            xs_ext = jnp.repeat(xs, n_classes * steps, axis=0)
-            probs, _ = recipe.fw_surrogate(
-                m_config, srg_p, xs_ext, flat.reshape(-1, n_players)
-            )
+        probs = surrogate_coalition_values(recipe, m_config, srg_p, xs, flat)
         probs = probs.reshape(n_classes, steps, -1)
         cls_idx = jnp.arange(n_classes)
         return probs[cls_idx, :, cls_idx]  # <C, S>

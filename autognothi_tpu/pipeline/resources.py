@@ -164,14 +164,23 @@ def load_params_file(file: pathlib.Path) -> Dict[str, np.ndarray]:
         return {k: data[k] for k in data.files}
 
 
+def latest_epoch(
+    path: pathlib.Path, section: str, max_epochs: int
+) -> Optional[int]:
+    """Newest checkpointed epoch (existence probe only — no payload load)."""
+    for epoch in range(max_epochs, -1, -1):
+        if _ckpt_path(path, section, epoch).exists():
+            return epoch
+    return None
+
+
 def load_epoch_ckpt(
     path: pathlib.Path, section: str, max_epochs: int, required: bool = False
 ) -> Tuple[Optional[int], Optional[Dict[str, np.ndarray]]]:
     """Scan epochs downward for the newest checkpoint (resources.py:150-168)."""
-    for epoch in range(max_epochs, -1, -1):
-        file = _ckpt_path(path, section, epoch)
-        if file.exists():
-            return epoch, load_params_file(file)
+    epoch = latest_epoch(path, section, max_epochs)
+    if epoch is not None:
+        return epoch, load_params_file(_ckpt_path(path, section, epoch))
     if required:
         raise FileNotFoundError(f"no checkpoint found for '{section}' under '{path}'")
     return None, None

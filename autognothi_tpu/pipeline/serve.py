@@ -49,6 +49,8 @@ class ExplainService:
     def explain(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         if "texts" in payload:
             raw = list(payload["texts"])
+            if not raw:  # gen_input cannot stack an empty batch
+                return {"logits": [], "attributions": []}
             xs, _ = self.gen_input(raw, [0] * len(raw))
         elif "images" in payload:
             xs = np.asarray(payload["images"], dtype=np.float32)
@@ -58,13 +60,13 @@ class ExplainService:
         if n == 0:
             return {"logits": [], "attributions": []}
 
+        from ..utils.functional import iter_fixed_batches
+
         logits_all, attr_all = [], []
-        for start in range(0, n, self.batch_size):
-            chunk = np.asarray(xs[start : start + self.batch_size])
-            real = chunk.shape[0]
-            if real < self.batch_size:  # pad to the compiled shape
-                pad = np.repeat(chunk[-1:], self.batch_size - real, axis=0)
-                chunk = np.concatenate([chunk, pad], axis=0)
+        # fixed-shape slabs: one compiled executable regardless of n
+        for (chunk,), real in iter_fixed_batches(
+            [np.asarray(xs)], self.batch_size
+        ):
             logits, attr = self._fw(self.final_params, jnp.asarray(chunk))
             logits_all.append(np.asarray(logits)[:real])
             attr_all.append(np.asarray(attr)[:real])

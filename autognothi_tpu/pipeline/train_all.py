@@ -17,7 +17,7 @@ from .config import Config_Train
 from .env import ExpEnv
 from .resources import (
     get_recipe,
-    load_epoch_ckpt,
+    latest_epoch,
     load_epoch_model,
     save_epoch_ckpt,
 )
@@ -34,20 +34,20 @@ def train_all(env: ExpEnv) -> None:
     config = env.config
 
     def detect_stage() -> int:
-        epoch_final, _ = load_epoch_ckpt(env.model_path, "final", 0)
-        if epoch_final is not None:
+        # existence probes only — never load payloads just to detect stages
+        if latest_epoch(env.model_path, "final", 0) is not None:
             return 7
-        epoch_exp, _ = load_epoch_ckpt(
+        epoch_exp = latest_epoch(
             env.model_path, "explainer", config.train_explainer.epochs
         )
         if epoch_exp is not None:
             return 6 if epoch_exp == config.train_explainer.epochs else 5
-        epoch_srg, _ = load_epoch_ckpt(
+        epoch_srg = latest_epoch(
             env.model_path, "surrogate", config.train_surrogate.epochs
         )
         if epoch_srg is not None:
             return 4 if epoch_srg == config.train_surrogate.epochs else 3
-        epoch_cls, _ = load_epoch_ckpt(env.model_path, "classifier", 0)
+        epoch_cls = latest_epoch(env.model_path, "classifier", 0)
         if epoch_cls is not None:
             return 2 if epoch_cls == config.train_classifier.epochs else 1
         return 0

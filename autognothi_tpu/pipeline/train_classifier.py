@@ -20,6 +20,7 @@ from .env import ExpEnv
 from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
 from .training import (
     maybe_enable_debug_nans,
+    cast_input,
     cosine_lr,
     cross_entropy_on_probs,
     filter_mask,
@@ -47,6 +48,13 @@ def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
     if epoch_start >= config.train_classifier.epochs:
         env.log("[[[ classifier already trained ]]]")
         return
+
+    from ..parallel.mesh import setup_data_parallel
+
+    mesh, place_params, place_batch = setup_data_parallel()
+    if mesh is not None:
+        env.log(f"[[[ data-parallel over {mesh.devices.size} devices ]]]")
+        params = place_params(params)
 
     trainable = (
         (lambda name: True) if unfreeze_all
@@ -101,11 +109,12 @@ def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
         ):
             xs, zs = gen_input(_inputs, _targets)
             batch = xs.shape[0]
+            xs = place_batch(cast_input(jnp.asarray(xs)))
             mask_1 = jnp.ones((batch, n_players), dtype=jnp.int32)
             step_rng = jax.random.fold_in(rng, batch_idx)
             params, opt_state, loss, probs = step(
                 params, opt_state, lr, update_mask,
-                jnp.asarray(xs), mask_1, jnp.asarray(zs), step_rng, ltt_active,
+                xs, mask_1, jnp.asarray(zs), step_rng, ltt_active,
             )
             loss_val = float(loss)
             cls_loss += loss_val
@@ -124,8 +133,9 @@ def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
         ):
             xs, zs = gen_input(_inputs, _targets)
             batch = xs.shape[0]
+            xs = place_batch(cast_input(jnp.asarray(xs)))
             mask_1 = jnp.ones((batch, n_players), dtype=jnp.int32)
-            probs = eval_fwd(params, jnp.asarray(xs), mask_1, ltt_active)
+            probs = eval_fwd(params, xs, mask_1, ltt_active)
             loss_val = float(cross_entropy_on_probs(probs, jnp.asarray(zs)))
             test_loss_sum += loss_val
             correct += int(np.sum(np.argmax(np.asarray(probs), axis=1) == zs))

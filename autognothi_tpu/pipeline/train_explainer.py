@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.shapley import loss_shapley, mask_shapley
+from ..recipes.types import surrogate_coalition_values
 from ..utils.seeding import iterative_key, set_iterative_seed
 from .env import ExpEnv
 from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
@@ -84,15 +85,7 @@ def train_explainer(env: ExpEnv) -> None:
         """<B, M, P> coalition masks -> (<B*M, C> masked values, <B, C> grand)."""
         b = masks_bmp.shape[0]
         mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
-        if recipe.fw_surrogate_coalitions is not None:
-            v_s = recipe.fw_surrogate_coalitions(m_config, srg_p, xs, masks_bmp)
-            v_s = v_s.reshape(b * n_mask_samples, -1)
-        else:  # replication fallback (reference semantics)
-            xs_ext = jnp.repeat(xs, n_mask_samples, axis=0)
-            v_s, _ = recipe.fw_surrogate(
-                m_config, srg_p, xs_ext,
-                masks_bmp.reshape(b * n_mask_samples, n_players),
-            )
+        v_s = surrogate_coalition_values(recipe, m_config, srg_p, xs, masks_bmp)
         v_1, _ = recipe.fw_surrogate(m_config, srg_p, xs, mask_1)
         return v_s, v_1
 

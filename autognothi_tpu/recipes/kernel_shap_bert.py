@@ -69,16 +69,13 @@ def _classifier_on_rows(cfg, cls_params):
         return probs
 
     def fn(rows_np: np.ndarray) -> np.ndarray:
+        from ..utils.functional import iter_fixed_batches
+
         rows_np = np.asarray(rows_np, dtype=np.int64)
-        chunk = 64
-        outs = []
-        for i in range(0, len(rows_np), chunk):
-            part = rows_np[i : i + chunk]
-            pad = chunk - part.shape[0]
-            if pad:
-                part = np.pad(part, ((0, pad), (0, 0)), mode="edge")
-            out = np.asarray(fwd(jnp.asarray(part)))
-            outs.append(out[: chunk - pad] if pad else out)
+        outs = [
+            np.asarray(fwd(jnp.asarray(part)))[:real]
+            for (part,), real in iter_fixed_batches([rows_np], 64)
+        ]
         return np.concatenate(outs, axis=0)
 
     return fn

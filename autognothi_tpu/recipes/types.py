@@ -130,3 +130,26 @@ class ModelRecipe:
     # report.  (cfg, params, Xs, mask[, grand, null]) -> (out, hidden <B,T,H>)
     fw_classifier_repr: Optional[Callable[..., Tuple[jax.Array, jax.Array]]] = None
     fw_explainer_repr: Optional[Callable[..., Tuple[jax.Array, jax.Array]]] = None
+
+
+def surrogate_coalition_values(
+    recipe: "ModelRecipe", m_config: Any, srg_params: Params, xs, masks_bmp
+):
+    """<B, M, P> coalition masks -> <B*M, C> masked surrogate values.
+
+    The one teacher-sweep primitive shared by the explainer trainers, the
+    fused sharded train step, and the faithfulness sweep: dispatches to the
+    recipe's embed-once `fw_surrogate_coalitions` fast path when present,
+    else replicates inputs along the coalition axis (reference semantics,
+    /root/reference/scripts/train_explainer.py:129-141)."""
+    import jax.numpy as jnp
+
+    b, m, p = masks_bmp.shape
+    if recipe.fw_surrogate_coalitions is not None:
+        v_s = recipe.fw_surrogate_coalitions(m_config, srg_params, xs, masks_bmp)
+        return v_s.reshape(b * m, -1)
+    xs_ext = jnp.repeat(xs, m, axis=0)
+    v_s, _ = recipe.fw_surrogate(
+        m_config, srg_params, xs_ext, masks_bmp.reshape(b * m, p)
+    )
+    return v_s

@@ -107,7 +107,9 @@ def conv_surrogate_explainer(cfg, _misc, surrogate, key):
 
 
 def _np_null(cfg: VanillaViTConfig) -> np.ndarray:
-    return np.zeros((1, 3, cfg.img_px_size, cfg.img_px_size), dtype=np.float32)
+    return np.zeros(
+        (1, cfg.img_channels, cfg.img_px_size, cfg.img_px_size), dtype=np.float32
+    )
 
 
 def fw_xs_preprocess(xs, mask):

@@ -140,6 +140,8 @@ def ranged_modulo_test(pattern: str) -> Callable[[int], bool]:
             mod, rem = (int(x) for x in open_ended[0])
         else:
             raise ValueError(f"invalid ckpt cadence pattern: {pattern!r}")
+        if mod == 0:
+            raise ValueError(f"zero modulus in ckpt cadence pattern: {pattern!r}")
         raw.append((bound, mod, rem))
     raw.sort(key=lambda t: t[0])
 

@@ -52,3 +52,10 @@ def test_truncation_matches(tokenizer):
     python = tokenizer.encode(long, 16)[0]
     np.testing.assert_array_equal(native[0], python)
     assert native[0][-1] in (tokenizer.sep_id, tokenizer.pad_id)
+
+
+def test_nul_byte_falls_back(tokenizer):
+    # NUL is the native wire-format record separator; must use python path
+    assert tokenizer.encode_batch_native(["evil\x00text"], 16) is None
+    out = encode_batch(tokenizer, ["evil\x00text"], 16)
+    assert out.shape == (1, 16)

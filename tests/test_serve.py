@@ -66,3 +66,10 @@ def test_explain_bad_payload(served):
     status, body = _post(server, "/explain", {"bogus": 1})
     assert status == 400
     assert "texts" in body["error"]
+
+
+def test_explain_empty_batch(served):
+    server, _ = served
+    status, body = _post(server, "/explain", {"images": []})
+    assert status == 200
+    assert body == {"logits": [], "attributions": []}

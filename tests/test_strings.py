@@ -43,3 +43,10 @@ def test_ranged_modulo_test():
     check("<=10:%2==0; <=5:%3==1; <= 20 : %5 == 0", ".*..*.*.*.*....*....*")
     check(" <=6:%4==2 ;", "..*...*.......")
     check("<=5:%2==1; _:%3==0", ".*.*.**..*..*..*..")
+
+
+def test_ranged_modulo_rejects_zero_modulus():
+    import pytest
+
+    with pytest.raises(ValueError, match="zero modulus"):
+        ranged_modulo_test("_:%0==0")
