@@ -53,7 +53,13 @@ class ExplainService:
                 return {"logits": [], "attributions": []}
             xs, _ = self.gen_input(raw, [0] * len(raw))
         elif "images" in payload:
-            xs = np.asarray(payload["images"], dtype=np.float32)
+            try:
+                xs = np.asarray(payload["images"], dtype=np.float32)
+            except (ValueError, TypeError) as err:
+                raise ValueError(
+                    "'images' must be a rectangular numeric array of shape "
+                    f"<B, C, H, W> ({err})"
+                ) from err
         else:
             raise ValueError("payload needs 'texts' or 'images'")
         n = xs.shape[0]

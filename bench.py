@@ -18,7 +18,9 @@ import time
 
 A100_TORCH_EST_EXPL_PER_SEC = 450.0
 
-BATCH = int(__import__("os").environ.get("AUTOGNOTHI_BENCH_BATCH", "64"))
+# B=256 measured on the chip: 1263 expl/s vs 1170 at B=64 (weights amortize
+# on the bandwidth-bound v5e; past 256 the curve is flat: 1272@512, 1281@1024)
+BATCH = int(__import__("os").environ.get("AUTOGNOTHI_BENCH_BATCH", "256"))
 WARMUP = 3
 ITERS = 10
 
