@@ -75,11 +75,48 @@ class CvTransforms(pydantic.BaseModel):
     color_jitter: Optional[CvTransformColorJitter] = None
 
 
+_IMAGEPROC = None  # cached native lib handle (False when unavailable)
+
+
+def _native_imageproc():
+    """Lazily build/load the C++ image pre-processing core."""
+    global _IMAGEPROC
+    if _IMAGEPROC is None:
+        import ctypes
+
+        from ..native import build_and_load
+
+        lib = build_and_load("imageproc")
+        if lib is not None:
+            fp = ctypes.POINTER(ctypes.c_float)
+            lib.ip_resize_bilinear.restype = ctypes.c_int
+            lib.ip_resize_bilinear.argtypes = [
+                fp, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                fp, ctypes.c_int64, ctypes.c_int64,
+            ]
+        _IMAGEPROC = lib or False
+    return _IMAGEPROC or None
+
+
 def _resize_chw(img: np.ndarray, height: int, width: int) -> np.ndarray:
-    """Bilinear resize of a <C, H, W> float array (numpy, no torch)."""
+    """Bilinear resize of a <C, H, W> float array.  Native C++ core when the
+    toolchain allows (same align-corners grid), numpy otherwise."""
     c, h, w = img.shape
     if (h, w) == (height, width):
         return img
+    lib = _native_imageproc()
+    if lib is not None:
+        import ctypes
+
+        src = np.ascontiguousarray(img, dtype=np.float32)
+        dst = np.empty((c, height, width), dtype=np.float32)
+        fp = ctypes.POINTER(ctypes.c_float)
+        rc = lib.ip_resize_bilinear(
+            src.ctypes.data_as(fp), c, h, w,
+            dst.ctypes.data_as(fp), height, width,
+        )
+        if rc == 0:
+            return dst
     ys = np.linspace(0, h - 1, height)
     xs = np.linspace(0, w - 1, width)
     y0 = np.floor(ys).astype(int)
