@@ -132,8 +132,33 @@ def _ckpt_path(path: pathlib.Path, section: str, epoch: int) -> pathlib.Path:
     return path / f"{section}-epoch-{epoch}.ckpt"
 
 
+def _orbax_backend() -> bool:
+    """`AUTOGNOTHI_CKPT_BACKEND=orbax` switches checkpoint payloads from npz
+    files to Orbax directories (sharded-array capable, multi-host ready).
+    Paths and retention semantics are identical; loading auto-detects either
+    format, so the two can be mixed within one experiment directory."""
+    import os
+
+    return os.environ.get("AUTOGNOTHI_CKPT_BACKEND", "npz") == "orbax"
+
+
+def _remove_ckpt(file: pathlib.Path) -> None:
+    if file.is_dir():  # orbax checkpoints are directories
+        import shutil
+
+        shutil.rmtree(file)
+    elif file.exists():
+        file.unlink()
+
+
 def save_params(file: pathlib.Path, params: Params) -> None:
     arrays = {k: np.asarray(v) for k, v in params.items()}
+    if _orbax_backend():
+        import orbax.checkpoint as ocp
+
+        _remove_ckpt(file)
+        ocp.PyTreeCheckpointer().save(str(file.resolve()), arrays)
+        return
     with open(file, "wb") as f:
         np.savez(f, **arrays)
 
@@ -150,9 +175,14 @@ def _is_torch_archive(file: pathlib.Path) -> bool:
 
 
 def load_params_file(file: pathlib.Path) -> Dict[str, np.ndarray]:
-    """Load a checkpoint: npz (native) or a torch-saved state dict — the
-    migration path for checkpoints trained with the torch reference (their
-    key layout matches ours by construction, see models/*)."""
+    """Load a checkpoint: npz (native), an Orbax directory, or a torch-saved
+    state dict — the migration path for checkpoints trained with the torch
+    reference (their key layout matches ours by construction, see models/*)."""
+    if file.is_dir():
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(str(file.resolve()))
+        return {k: np.asarray(v) for k, v in restored.items()}
     if _is_torch_archive(file):
         import torch
 
@@ -205,14 +235,11 @@ def save_epoch_ckpt(
         return ep == 0 or ep == cfg.epochs or ranged_modulo_test(cfg.ckpt_when)(ep)
 
     file = _ckpt_path(path, section, epoch)
-    if file.exists():
-        file.unlink()
+    _remove_ckpt(file)
     save_params(file, params)
 
     if not should_keep(epoch - 1):
-        prev = _ckpt_path(path, section, epoch - 1)
-        if prev.exists():
-            prev.unlink()
+        _remove_ckpt(_ckpt_path(path, section, epoch - 1))
     return True
 
 

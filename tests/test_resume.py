@@ -58,3 +58,38 @@ def test_ckpt_retention_follows_cadence(tmp_path: pathlib.Path):
     )
     # epoch 0 (initial), evens by cadence, final epoch
     assert kept == [0, 2, 4]
+
+
+def test_orbax_backend_roundtrip(tmp_path, monkeypatch):
+    """Orbax directories interchange with npz files under the same paths."""
+    import numpy as np
+
+    from autognothi_tpu.pipeline.resources import (
+        latest_epoch,
+        load_params_file,
+        save_params,
+        _ckpt_path,
+    )
+
+    params = {
+        "layer.0.weight": np.arange(6, dtype=np.float32).reshape(2, 3),
+        "head.bias": np.ones((4,), dtype=np.float32),
+    }
+    monkeypatch.setenv("AUTOGNOTHI_CKPT_BACKEND", "orbax")
+    file = _ckpt_path(tmp_path, "surrogate", 1)
+    save_params(file, params)
+    assert file.is_dir()  # orbax payloads are directories
+    assert latest_epoch(tmp_path, "surrogate", 5) == 1
+    got = load_params_file(file)
+    assert set(got) == set(params)
+    for k in params:
+        np.testing.assert_array_equal(got[k], params[k])
+
+    # npz written beside it still loads (mixed-format experiment dir)
+    monkeypatch.setenv("AUTOGNOTHI_CKPT_BACKEND", "npz")
+    file2 = _ckpt_path(tmp_path, "surrogate", 2)
+    save_params(file2, params)
+    assert file2.is_file()
+    assert latest_epoch(tmp_path, "surrogate", 5) == 2
+    got2 = load_params_file(file2)
+    np.testing.assert_array_equal(got2["head.bias"], params["head.bias"])
