@@ -93,3 +93,22 @@ def test_orbax_backend_roundtrip(tmp_path, monkeypatch):
     assert latest_epoch(tmp_path, "surrogate", 5) == 2
     got2 = load_params_file(file2)
     np.testing.assert_array_equal(got2["head.bias"], params["head.bias"])
+
+
+def test_orbax_retention_deletes_directories(tmp_path, monkeypatch):
+    """Cadence retention unlinks Orbax directory payloads like npz files."""
+    import numpy as np
+
+    from autognothi_tpu.pipeline.config import Config_Train
+    from autognothi_tpu.pipeline.resources import (
+        get_epoch_ckpts,
+        save_epoch_ckpt,
+    )
+
+    monkeypatch.setenv("AUTOGNOTHI_CKPT_BACKEND", "orbax")
+    cfg = Config_Train(epochs=4, ckpt_when="_:%2==0", lr=0.1, batch_size=1)
+    params = {"w": np.zeros((2,), dtype=np.float32)}
+    for epoch in range(5):
+        save_epoch_ckpt(tmp_path, "surrogate", cfg, epoch, params)
+    # epochs 0, 2, 4 kept (cadence + first/last); 1 and 3 deleted
+    assert get_epoch_ckpts(tmp_path, "surrogate", 4) == [0, 2, 4]
