@@ -46,3 +46,18 @@ def test_unknown_command_fails_cleanly():
     proc = _run("not_a_command", "/tmp", check=False)
     assert proc.returncode != 0
     assert "invalid choice" in proc.stderr
+
+
+def test_show_fridge_cmd(cli_exp: pathlib.Path):
+    # no --device flag: the fridge viewer is a host-side param table
+    proc = _run("__show_fridge__", str(cli_exp))
+    assert "surrogate_null" in proc.stdout
+
+
+def test_estimate_train_time_cmd(cli_exp: pathlib.Path):
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "main.py"), "estimate_train_time",
+         str(cli_exp), "--device", "cpu"],
+        input="8\n", capture_output=True, text=True, timeout=1200, check=True,
+    )
+    assert "estimated training time" in proc.stdout
