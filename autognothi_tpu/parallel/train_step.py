@@ -1,4 +1,4 @@
-"""The fused, shardable explainer training step — the framework's hot path.
+"""The fused, shardable explainer step — the framework's hot path.
 
 One XLA program per step: on-device paired-complement coalition sampling,
 the B*M masked surrogate teacher forwards (embeddings amortized via the
@@ -7,13 +7,24 @@ update.  Under a Mesh, the batch/coalition axes shard along "data" and the
 Megatron param specs (parallel.mesh.param_pspec) shard attention/MLP blocks
 along "model"; GSPMD inserts the psum/all-reduce collectives.
 
+This module is consumed by BOTH the production trainer
+(pipeline/train_explainer.py) and the multichip dryrun / benches, so the
+benchmarked step is exactly what training runs.  The step carries two
+dynamic-freeze controls so LTT progressive training reuses the same
+compiled executable across epochs:
+
+- `update_mask`: per-param 0/1 scalars multiplied into gradients and
+  updates (frozen side branches keep zero Adam moments — torch semantics);
+- `ltt_active`: traced active-depth scalar forwarded to the recipe as
+  `ltt_active_layers` when the recipe supports progressive training.
+
 Replaces the reference's five-kernel-launch + host-rng + input-replication
 loop (/root/reference/scripts/train_explainer.py:148-206).
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +34,27 @@ from ..ops.shapley import loss_shapley, mask_shapley
 from ..recipes.types import ModelRecipe, Params, surrogate_coalition_values
 
 
+def _ltt_kwargs(recipe: ModelRecipe, ltt_active):
+    if recipe.progressive_trainable is not None:
+        return {"ltt_active_layers": ltt_active}
+    return {}
+
+
+def _make_teacher(
+    recipe: ModelRecipe, m_config: Any, n_players: int
+) -> Callable:
+    def teacher(srg_params: Params, xs, masks_bmp):
+        b = masks_bmp.shape[0]
+        mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
+        v_s = surrogate_coalition_values(
+            recipe, m_config, srg_params, xs, masks_bmp
+        )
+        v_1, _ = recipe.fw_surrogate(m_config, srg_params, xs, mask_1)
+        return v_s, v_1
+
+    return teacher
+
+
 def make_explainer_train_step(
     recipe: ModelRecipe,
     m_config: Any,
@@ -30,38 +62,70 @@ def make_explainer_train_step(
     n_mask_samples: int,
     tx: optax.GradientTransformation,
 ) -> Callable:
-    """-> step(params, opt_state, srg_params, surrogate_null, xs, key, lr)
-            -> (params, opt_state, loss)"""
+    """-> step(params, opt_state, srg_params, surrogate_null, xs, key, lr,
+               update_mask, ltt_active) -> (params, opt_state, loss)
 
-    def teacher(srg_params: Params, xs, masks_bmp):
-        b = masks_bmp.shape[0]
-        mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
-        v_s = surrogate_coalition_values(recipe, m_config, srg_params, xs, masks_bmp)
-        v_1, _ = recipe.fw_surrogate(m_config, srg_params, xs, mask_1)
-        return v_s, v_1
+    `update_mask` is a per-param 0/1 scalar dict (pipeline.training.ones_mask
+    / filter_mask); `ltt_active` an int32 scalar (ignored by non-LTT
+    recipes).  `key` seeds both the coalition sampler and dropout.
+    """
+    teacher = _make_teacher(recipe, m_config, n_players)
 
-    def loss_fn(params, xs, masks_bmp, v_0, v_s, v_1, rng):
+    def loss_fn(params, xs, masks_bmp, v_0, v_s, v_1, rng, ltt_active):
         b = masks_bmp.shape[0]
         mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
         phi, _ = recipe.fw_explainer(
             m_config, params, xs, mask_1, v_1, v_0,
-            deterministic=rng is None, rng=rng,
+            deterministic=False, rng=rng,
+            **_ltt_kwargs(recipe, ltt_active),
         )
         return loss_shapley(masks_bmp, v_0, v_s, v_1, phi)
 
     @jax.jit
-    def step(params, opt_state, srg_params, surrogate_null, xs, key, lr):
+    def step(
+        params, opt_state, srg_params, surrogate_null, xs, key, lr,
+        update_mask, ltt_active,
+    ):
         b = xs.shape[0]
         mask_key, drop_key = jax.random.split(key)
         masks = mask_shapley(mask_key, b * n_mask_samples, n_players)
         masks = masks.reshape(b, n_mask_samples, n_players)
         v_s, v_1 = teacher(srg_params, xs, masks)
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, xs, masks, surrogate_null, v_s, v_1, drop_key
+            params, xs, masks, surrogate_null, v_s, v_1, drop_key, ltt_active
         )
+        grads = jax.tree.map(lambda g, m: g * m, grads, update_mask)
         opt_state = optax.tree_utils.tree_set(opt_state, learning_rate=lr)
         updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u, m: u * m, updates, update_mask)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     return step
+
+
+def make_explainer_eval_step(
+    recipe: ModelRecipe,
+    m_config: Any,
+    n_players: int,
+    n_mask_samples: int,
+) -> Callable:
+    """-> eval(params, srg_params, surrogate_null, xs, key, ltt_active)
+            -> loss   (deterministic forward, same fused teacher sweep)"""
+    teacher = _make_teacher(recipe, m_config, n_players)
+
+    @jax.jit
+    def eval_step(params, srg_params, surrogate_null, xs, key, ltt_active):
+        b = xs.shape[0]
+        mask_key, _ = jax.random.split(key)
+        masks = mask_shapley(mask_key, b * n_mask_samples, n_players)
+        masks = masks.reshape(b, n_mask_samples, n_players)
+        v_s, v_1 = teacher(srg_params, xs, masks)
+        mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
+        phi, _ = recipe.fw_explainer(
+            m_config, params, xs, mask_1, v_1, surrogate_null,
+            **_ltt_kwargs(recipe, ltt_active),
+        )
+        return loss_shapley(masks, surrogate_null, v_s, v_1, phi)
+
+    return eval_step

@@ -7,7 +7,9 @@ This is THE hot loop.  TPU-first redesign of the reference's per-batch flow
 - the B*M masked surrogate forwards go through the recipe's coalition fast
   path (embeddings computed once per input, hidden states batched across the
   coalition axis) instead of replicating inputs in a Python loop;
-- surrogate teacher passes + explainer update compile into one XLA program.
+- coalition sampling + surrogate teacher + explainer fwd/bwd + AdamW compile
+  into ONE XLA program: parallel.train_step.make_explainer_train_step — the
+  same fused, mesh-shardable step the multichip dryrun and the benches run.
 """
 
 from __future__ import annotations
@@ -18,8 +20,10 @@ import time
 import jax
 import jax.numpy as jnp
 
-from ..ops.shapley import loss_shapley, mask_shapley
-from ..recipes.types import surrogate_coalition_values
+from ..parallel.train_step import (
+    make_explainer_eval_step,
+    make_explainer_train_step,
+)
 from ..utils.seeding import iterative_key, set_iterative_seed
 from .env import ExpEnv
 from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
@@ -27,9 +31,9 @@ from .training import (
     cast_input,
     maybe_enable_debug_nans,
     cosine_lr,
+    defer_loss_fetch,
     filter_mask,
     make_optimizer,
-    make_train_step,
     ones_mask,
 )
 
@@ -81,52 +85,19 @@ def train_explainer(env: ExpEnv) -> None:
         lambda p, xs, mask: recipe.fw_surrogate(m_config, p, xs, mask)
     )(srg_params, nil_xs, nil_mask)
 
-    def surrogate_values_fn(srg_p, xs, masks_bmp):
-        """<B, M, P> coalition masks -> (<B*M, C> masked values, <B, C> grand)."""
-        b = masks_bmp.shape[0]
-        mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
-        v_s = surrogate_coalition_values(recipe, m_config, srg_p, xs, masks_bmp)
-        v_1, _ = recipe.fw_surrogate(m_config, srg_p, xs, mask_1)
-        return v_s, v_1
-
-    is_ltt = recipe.progressive_trainable is not None
     full_depth = getattr(m_config, "num_hidden_layers", 0)
 
-    def _ltt_kw(ltt_active):
-        return {"ltt_active_layers": ltt_active} if is_ltt else {}
-
-    def loss_fn(p, xs, masks_bmp, v_0, v_s, v_1, rng, ltt_active):
-        b = masks_bmp.shape[0]
-        mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
-        phi, _ = recipe.fw_explainer(
-            m_config, p, xs, mask_1, v_1, v_0, deterministic=False, rng=rng,
-            **_ltt_kw(ltt_active),
-        )
-        loss = loss_shapley(masks_bmp, v_0, v_s, v_1, phi)
-        return loss, phi
-
-    step = make_train_step(tx, loss_fn)
-    teacher = jax.jit(surrogate_values_fn)
-
-    @jax.jit
-    def eval_loss(p, xs, masks_bmp, v_0, v_s, v_1, ltt_active):
-        b = masks_bmp.shape[0]
-        mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
-        phi, _ = recipe.fw_explainer(
-            m_config, p, xs, mask_1, v_1, v_0, **_ltt_kw(ltt_active)
-        )
-        return loss_shapley(masks_bmp, v_0, v_s, v_1, phi)
-
-    mask_sampler = jax.jit(
-        lambda key, b: mask_shapley(key, b * n_mask_samples, n_players).reshape(
-            b, n_mask_samples, n_players
-        ),
-        static_argnums=1,
-    )
+    # ONE step implementation: the fused, mesh-shardable XLA program from
+    # parallel/train_step.py (sampler + teacher + fwd/bwd + AdamW).
+    step = make_explainer_train_step(recipe, m_config, n_players,
+                                     n_mask_samples, tx)
+    eval_step = make_explainer_eval_step(recipe, m_config, n_players,
+                                         n_mask_samples)
+    deferred = defer_loss_fetch()
 
     def run_epoch(epoch: int, rng, lr, update_mask, ltt_active, train: bool):
         nonlocal params, opt_state
-        reg_loss, total = 0.0, 0
+        losses, sizes, total = [], [], 0
         items = (
             d_loader.train(config.train_explainer.batch_size) if train
             else d_loader.test(config.train_explainer.batch_size)
@@ -136,26 +107,33 @@ def train_explainer(env: ExpEnv) -> None:
             xs, _zs = gen_input(_inputs, _targets)
             batch = xs.shape[0]
             xs = place_batch(cast_input(jnp.asarray(xs)))
-            mask_key = jax.random.fold_in(rng, 2 * batch_idx)
-            step_rng = jax.random.fold_in(rng, 2 * batch_idx + 1)
-            masks = mask_sampler(mask_key, batch)
-            v_s, v_1 = teacher(srg_params, xs, masks)
+            step_key = jax.random.fold_in(rng, batch_idx)
             if train:
-                params, opt_state, loss, _phi = step(
-                    params, opt_state, lr, update_mask,
-                    xs, masks, surrogate_null, v_s, v_1, step_rng, ltt_active,
+                params, opt_state, loss = step(
+                    params, opt_state, srg_params, surrogate_null, xs,
+                    step_key, lr, update_mask, ltt_active,
                 )
             else:
-                loss = eval_loss(params, xs, masks, surrogate_null, v_s, v_1,
-                                 ltt_active)
-            loss_val = float(loss)
-            reg_loss += loss_val
+                loss = eval_step(params, srg_params, surrogate_null, xs,
+                                 step_key, ltt_active)
+            losses.append(loss)
+            sizes.append(batch)
             total += batch
-            env.log(
-                f"  > epoch {epoch} :{batch_idx}:{tag} // "
-                f"loss: shap {loss_val / batch:.6f}, fin {total}"
-            )
-        return reg_loss / max(total, 1)
+            if not deferred:  # per-batch host sync only in parity-log mode
+                env.log(
+                    f"  > epoch {epoch} :{batch_idx}:{tag} // "
+                    f"loss: shap {float(loss) / batch:.6f}, fin {total}"
+                )
+        fetched = [float(v) for v in jax.device_get(losses)]
+        if deferred:
+            fin = 0
+            for batch_idx, (loss_val, batch) in enumerate(zip(fetched, sizes)):
+                fin += batch
+                env.log(
+                    f"  > epoch {epoch} :{batch_idx}:{tag} // "
+                    f"loss: shap {loss_val / batch:.6f}, fin {fin}"
+                )
+        return sum(fetched) / max(total, 1)
 
     for epoch in range(epoch_start + 1, config.train_explainer.epochs + 1):
         set_iterative_seed(config.seed, f"train_explainer[epoch={epoch}]")

@@ -53,6 +53,16 @@ def cast_input(xs: jax.Array) -> jax.Array:
     return xs
 
 
+def defer_loss_fetch() -> bool:
+    """AUTOGNOTHI_DEFER_LOSS_FETCH=1 batches the per-step loss device->host
+    transfers into one fetch per epoch.  On the remote-TPU tunnel a
+    `float(loss)` every batch blocks the pipeline on a round trip; deferring
+    keeps the device queue full.  Off by default: the per-batch log lines
+    then appear live, matching the reference's cadence exactly (the lines
+    themselves are identical either way, only *when* they print changes)."""
+    return os.environ.get("AUTOGNOTHI_DEFER_LOSS_FETCH") == "1"
+
+
 def maybe_enable_debug_nans() -> None:
     """JAX analogue of the reference's permanently-on
     `torch.autograd.set_detect_anomaly(True)` (train_classifier.py:50):

@@ -28,7 +28,7 @@ def main() -> None:
     from autognothi_tpu.models.common import cast_tree
     from autognothi_tpu.models.vit import init_vit_classifier, init_vit_explainer
     from autognothi_tpu.parallel.train_step import make_explainer_train_step
-    from autognothi_tpu.pipeline.training import make_optimizer
+    from autognothi_tpu.pipeline.training import make_optimizer, ones_mask
     from autognothi_tpu.recipes.vanilla_vit import fw_surrogate, vanilla_vit_recipe
     from __graft_entry__ import _flagship_cfg
 
@@ -61,14 +61,17 @@ def main() -> None:
             r.fw_surrogate_coalitions = None
         step = make_explainer_train_step(r, cfg, n_players, N_MASK_SAMPLES, tx)
         p, s = exp_params, opt_state
+        umask = ones_mask(p)
+        depth = jnp.asarray(cfg.num_hidden_layers, jnp.int32)
         p, s, loss = step(p, s, srg_params, surrogate_null, xs,
-                          jax.random.PRNGKey(3), jnp.asarray(1e-4))
+                          jax.random.PRNGKey(3), jnp.asarray(1e-4),
+                          umask, depth)
         fence(loss)
         t0 = time.perf_counter()
         for i in range(ITERS):
             p, s, loss = step(p, s, srg_params, surrogate_null, xs,
                               jax.random.fold_in(jax.random.PRNGKey(4), i),
-                              jnp.asarray(1e-4))
+                              jnp.asarray(1e-4), umask, depth)
         fence(loss)
         dt = (time.perf_counter() - t0) / ITERS
         coalitions_per_sec = BATCH * N_MASK_SAMPLES / dt
