@@ -78,8 +78,13 @@ def loss_shapley(
     v_s: jnp.ndarray,  # <batch * n_mask_samples, n_classes> masked values
     v_1: jnp.ndarray,  # <batch, n_classes>  grand coalition (unused, kept for parity)
     phi: jnp.ndarray,  # <batch, n_classes, n_players> attributions
+    weights: jnp.ndarray = None,  # <batch> 0/1; None = all real
 ) -> jnp.ndarray:
-    """FastSHAP-style weighted regression: n_players * MSE(v0 + mask.phi, v_s)."""
+    """FastSHAP-style weighted regression: n_players * MSE(v0 + mask.phi, v_s).
+
+    `weights` marks real batch rows (0 = padding) so ragged final batches can
+    be edge-padded to a fixed shape: the result equals the unpadded mean
+    exactly (weighted mean sum(w*sq)/sum(w) over the per-row expansion)."""
     del v_1
     batch, n_mask_samples, n_players = mask.shape
     # regression math in fp32 regardless of (possibly bf16) network outputs
@@ -87,8 +92,15 @@ def loss_shapley(
     approx = v_0.astype(jnp.float32).reshape(1, 1, -1) + jnp.einsum(
         "bmp,bpc->bmc", mask.astype(jnp.float32), values_pred
     )
-    approx = approx.reshape(batch * n_mask_samples, -1)
-    return n_players * jnp.mean((approx - v_s.astype(jnp.float32)) ** 2)
+    sq = (approx.reshape(batch * n_mask_samples, -1)
+          - v_s.astype(jnp.float32)) ** 2
+    if weights is None:
+        return n_players * jnp.mean(sq)
+    w = weights.astype(jnp.float32)
+    n_classes = sq.shape[-1]
+    per_row = jnp.sum(sq.reshape(batch, -1), axis=1)  # sum over M * C
+    denom = jnp.sum(w) * n_mask_samples * n_classes
+    return n_players * jnp.sum(w * per_row) / jnp.maximum(denom, 1.0)
 
 
 def normalize_shapley_explanation(
@@ -105,18 +117,25 @@ def normalize_shapley_explanation(
     return pred + diff / n_tokens
 
 
-def loss_logits_kl_divergence(ref: jnp.ndarray, current: jnp.ndarray) -> jnp.ndarray:
+def loss_logits_kl_divergence(
+    ref: jnp.ndarray, current: jnp.ndarray, weights: jnp.ndarray = None
+) -> jnp.ndarray:
     """Reference-oriented KL distillation loss (batchmean).
 
     Equals torch.nn.functional.kl_div(input=log_softmax(ref),
     target=softmax(current), reduction="batchmean") =
     mean_b sum_c p_cur(c) * (log p_cur(c) - log p_ref(c)).
+
+    `weights` <batch> marks real rows (0 = padding): weighted batchmean.
     """
     log_p_ref = jax.nn.log_softmax(ref, axis=-1)
     p_cur = jax.nn.softmax(current, axis=-1)
     log_p_cur = jax.nn.log_softmax(current, axis=-1)
     per_item = jnp.sum(p_cur * (log_p_cur - log_p_ref), axis=-1)
-    return jnp.mean(per_item)
+    if weights is None:
+        return jnp.mean(per_item)
+    w = weights.astype(per_item.dtype)
+    return jnp.sum(w * per_item) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def mask_purely_uniform(

@@ -71,7 +71,8 @@ def make_explainer_train_step(
     """
     teacher = _make_teacher(recipe, m_config, n_players)
 
-    def loss_fn(params, xs, masks_bmp, v_0, v_s, v_1, rng, ltt_active):
+    def loss_fn(params, xs, masks_bmp, v_0, v_s, v_1, rng, ltt_active,
+                weights):
         b = masks_bmp.shape[0]
         mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
         phi, _ = recipe.fw_explainer(
@@ -79,12 +80,12 @@ def make_explainer_train_step(
             deterministic=False, rng=rng,
             **_ltt_kwargs(recipe, ltt_active),
         )
-        return loss_shapley(masks_bmp, v_0, v_s, v_1, phi)
+        return loss_shapley(masks_bmp, v_0, v_s, v_1, phi, weights)
 
     @jax.jit
     def step(
         params, opt_state, srg_params, surrogate_null, xs, key, lr,
-        update_mask, ltt_active,
+        update_mask, ltt_active, weights=None,
     ):
         b = xs.shape[0]
         mask_key, drop_key = jax.random.split(key)
@@ -92,7 +93,8 @@ def make_explainer_train_step(
         masks = masks.reshape(b, n_mask_samples, n_players)
         v_s, v_1 = teacher(srg_params, xs, masks)
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, xs, masks, surrogate_null, v_s, v_1, drop_key, ltt_active
+            params, xs, masks, surrogate_null, v_s, v_1, drop_key, ltt_active,
+            weights,
         )
         grads = jax.tree.map(lambda g, m: g * m, grads, update_mask)
         opt_state = optax.tree_utils.tree_set(opt_state, learning_rate=lr)
@@ -115,7 +117,8 @@ def make_explainer_eval_step(
     teacher = _make_teacher(recipe, m_config, n_players)
 
     @jax.jit
-    def eval_step(params, srg_params, surrogate_null, xs, key, ltt_active):
+    def eval_step(params, srg_params, surrogate_null, xs, key, ltt_active,
+                  weights=None):
         b = xs.shape[0]
         mask_key, _ = jax.random.split(key)
         masks = mask_shapley(mask_key, b * n_mask_samples, n_players)
@@ -126,6 +129,6 @@ def make_explainer_eval_step(
             m_config, params, xs, mask_1, v_1, surrogate_null,
             **_ltt_kwargs(recipe, ltt_active),
         )
-        return loss_shapley(masks, surrogate_null, v_s, v_1, phi)
+        return loss_shapley(masks, surrogate_null, v_s, v_1, phi, weights)
 
     return eval_step

@@ -21,6 +21,7 @@ import numpy as np
 import pydantic
 
 from ..data.loader import DatasetLoader
+from ..parallel.mesh import setup_data_parallel
 from ..recipes.types import surrogate_coalition_values
 from .env import ExpEnv
 from .resources import get_recipe, load_cfg_dataset, load_epoch_model
@@ -107,16 +108,39 @@ def measure_faithfulness(
     stops_np = np.linspace(0, n_players, steps, dtype=np.int64)
     stops = jnp.asarray(stops_np)
 
+    # the classes x stops coalition batch is embarrassingly parallel
+    # (SURVEY §2.9): shard it along the "data" mesh axis, replicating the
+    # params — the same placement the trainers use
+    mesh, place_params, _ = setup_data_parallel()
+    srg_params = place_params(srg_params)
+    final_params = place_params(final_params)
+    n_shards = mesh.shape["data"] if mesh is not None else 1
+
     explain = jax.jit(lambda p, xs: recipe.fw_final(m_config, p, xs))
 
     @partial(jax.jit, static_argnums=3)
     def eval_perturbed(srg_p, xs, attr, mask_base):
         """xs <1, ...>, attr <C, P> -> <C, S> surrogate value of class c at
-        stop s (one coalition batch through the embed-once fast path)."""
+        stop s (one coalition batch through the embed-once fast path,
+        sharded over the data mesh)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         n_classes = attr.shape[0]
         masks0 = perturbation_masks(attr, stops, mask_base)  # <C, S, P>
-        flat = masks0.reshape(1, n_classes * steps, n_players)
+        total = n_classes * steps
+        padded = ((total + n_shards - 1) // n_shards) * n_shards
+        flat = masks0.reshape(1, total, n_players)
+        if padded != total:
+            # edge-pad so the coalition axis divides the mesh; extra rows are
+            # recomputed copies, sliced off below
+            flat = jnp.concatenate(
+                [flat, jnp.broadcast_to(flat[:, -1:], (1, padded - total,
+                                                       n_players))], axis=1)
+        if mesh is not None:
+            flat = jax.lax.with_sharding_constraint(
+                flat, NamedSharding(mesh, P(None, "data", None)))
         probs = surrogate_coalition_values(recipe, m_config, srg_p, xs, flat)
+        probs = probs.reshape(padded, -1)[:total]
         probs = probs.reshape(n_classes, steps, -1)
         cls_idx = jnp.arange(n_classes)
         return probs[cls_idx, :, cls_idx]  # <C, S>

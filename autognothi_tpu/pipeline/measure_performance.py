@@ -76,9 +76,18 @@ def timed_call(fn: Callable[[], Any]) -> float:
 
 
 def compiled_gflops(jitted, *args) -> float:
-    """XLA cost analysis of the lowered executable.  Remote-tunnel platforms
-    report no cost model; fall back to analyzing the same program lowered
-    for the host CPU backend (identical HLO-level FLOPs)."""
+    """GFLOPs of one forward call: jaxpr-derived matmul/conv count (exact
+    through `lax.scan` trip counts — XLA's cost_analysis counts a scan body
+    only once, ~12x under on the scanned encoders).  Falls back to XLA cost
+    analysis for programs the tracer cannot size."""
+    try:
+        from ..utils.flops import fn_flops
+
+        flops = fn_flops(jitted, *args) / 1e9
+        if flops > 0:
+            return flops
+    except Exception:
+        pass
 
     def analyze() -> float:
         cost = jitted.lower(*args).compile().cost_analysis()

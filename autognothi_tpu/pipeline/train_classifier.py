@@ -19,6 +19,7 @@ from ..utils.seeding import iterative_key, set_iterative_seed
 from .env import ExpEnv
 from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
 from .training import (
+    LossDrain,
     maybe_enable_debug_nans,
     cast_input,
     cosine_lr,
@@ -27,6 +28,7 @@ from .training import (
     make_optimizer,
     make_train_step,
     ones_mask,
+    pad_batch,
 )
 
 
@@ -67,12 +69,12 @@ def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
     is_ltt = recipe.progressive_trainable is not None
     full_depth = getattr(m_config, "num_hidden_layers", 0)
 
-    def loss_fn(p, xs, mask, labels, rng, ltt_active):
+    def loss_fn(p, xs, mask, labels, rng, ltt_active, weights):
         kw = {"ltt_active_layers": ltt_active} if is_ltt else {}
         probs, _ = recipe.fw_classifier(
             m_config, p, xs, mask, deterministic=False, rng=rng, **kw
         )
-        loss = cross_entropy_on_probs(probs, labels)
+        loss = cross_entropy_on_probs(probs, labels, weights)
         return loss, probs
 
     step = make_train_step(tx, loss_fn)
@@ -103,49 +105,54 @@ def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
                        config.train_classifier.epochs)
         ts_begin = time.time()
 
-        cls_loss, correct, total = 0.0, 0, 0
-        for batch_idx, (_inputs, _targets) in enumerate(
-            d_loader.train(config.train_classifier.batch_size)
-        ):
-            xs, zs = gen_input(_inputs, _targets)
-            batch = xs.shape[0]
-            xs = place_batch(cast_input(jnp.asarray(xs)))
-            mask_1 = jnp.ones((batch, n_players), dtype=jnp.int32)
-            step_rng = jax.random.fold_in(rng, batch_idx)
-            params, opt_state, loss, probs = step(
-                params, opt_state, lr, update_mask,
-                xs, mask_1, jnp.asarray(zs), step_rng, ltt_active,
-            )
-            loss_val = float(loss)
-            cls_loss += loss_val
-            correct += int(np.sum(np.argmax(np.asarray(probs), axis=1) == zs))
-            total += batch
-            env.log(
-                f"  > epoch {epoch} :{batch_idx}:train // "
-                f"loss: cls {loss_val / batch:.6f} // "
-                f"acc: {100.0 * correct / total:.3f}%, {correct}/{total}"
-            )
-        train_loss, train_acc = cls_loss / max(total, 1), correct / max(total, 1)
+        def run_epoch(tag: str) -> tuple:
+            nonlocal params, opt_state
+            state = {"loss": 0.0, "correct": 0, "total": 0}
 
-        test_loss_sum, correct, total = 0.0, 0, 0
-        for batch_idx, (_inputs, _targets) in enumerate(
-            d_loader.test(config.train_classifier.batch_size)
-        ):
-            xs, zs = gen_input(_inputs, _targets)
-            batch = xs.shape[0]
-            xs = place_batch(cast_input(jnp.asarray(xs)))
-            mask_1 = jnp.ones((batch, n_players), dtype=jnp.int32)
-            probs = eval_fwd(params, xs, mask_1, ltt_active)
-            loss_val = float(cross_entropy_on_probs(probs, jnp.asarray(zs)))
-            test_loss_sum += loss_val
-            correct += int(np.sum(np.argmax(np.asarray(probs), axis=1) == zs))
-            total += batch
-            env.log(
-                f"  > epoch {epoch} :{batch_idx}:test // "
-                f"loss: cls {loss_val / batch:.6f} // "
-                f"acc: {100.0 * correct / total:.3f}%, {correct}/{total}"
+            def emit(batch_idx, vals, host):
+                loss_val, probs_np = float(vals[0]), np.asarray(vals[1])
+                zs_np, batch = host
+                state["loss"] += loss_val
+                state["correct"] += int(
+                    np.sum(np.argmax(probs_np[:batch], axis=1) == zs_np))
+                state["total"] += batch
+                env.log(
+                    f"  > epoch {epoch} :{batch_idx}:{tag} // "
+                    f"loss: cls {loss_val / batch:.6f} // "
+                    f"acc: {100.0 * state['correct'] / state['total']:.3f}%, "
+                    f"{state['correct']}/{state['total']}"
+                )
+
+            drain = LossDrain(emit)
+            items = (
+                d_loader.train(config.train_classifier.batch_size)
+                if tag == "train"
+                else d_loader.test(config.train_classifier.batch_size)
             )
-        test_loss, test_acc = test_loss_sum / max(total, 1), correct / max(total, 1)
+            for batch_idx, (_inputs, _targets) in enumerate(items):
+                xs, zs = gen_input(_inputs, _targets)
+                batch = xs.shape[0]
+                xs, zs_p, weights = pad_batch(
+                    xs, zs, config.train_classifier.batch_size)
+                xs = place_batch(cast_input(jnp.asarray(xs)))
+                w = jnp.asarray(weights)
+                mask_1 = jnp.ones((xs.shape[0], n_players), dtype=jnp.int32)
+                if tag == "train":
+                    step_rng = jax.random.fold_in(rng, batch_idx)
+                    params, opt_state, loss, probs = step(
+                        params, opt_state, lr, update_mask,
+                        xs, mask_1, jnp.asarray(zs_p), step_rng, ltt_active, w,
+                    )
+                else:
+                    probs = eval_fwd(params, xs, mask_1, ltt_active)
+                    loss = cross_entropy_on_probs(probs, jnp.asarray(zs_p), w)
+                drain.push((loss, probs), (np.asarray(zs), batch))
+            drain.flush()
+            total = max(state["total"], 1)
+            return state["loss"] / total, state["correct"] / total
+
+        train_loss, train_acc = run_epoch("train")
+        test_loss, test_acc = run_epoch("test")
 
         ts_delta = time.time() - ts_begin
         env.metrics({

@@ -17,6 +17,7 @@ from ..utils.seeding import iterative_key, set_iterative_seed
 from .env import ExpEnv
 from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
 from .training import (
+    LossDrain,
     cast_input,
     maybe_enable_debug_nans,
     cosine_lr,
@@ -24,6 +25,7 @@ from .training import (
     make_optimizer,
     make_train_step,
     ones_mask,
+    pad_batch,
 )
 
 
@@ -61,66 +63,83 @@ def train_duo_explainer(env: ExpEnv) -> None:
         v_1, _ = recipe.fw_surrogate(m_config, p, xs, mask_1)
         return v_s, v_1
 
-    def joint_loss(p, xs, zs, masks_bmp, v_0, v_s, v_1, rng):
+    def joint_loss(p, xs, zs, masks_bmp, v_0, v_s, v_1, rng, weights):
         b = masks_bmp.shape[0]
         mask_1 = jnp.ones((b, n_players), jnp.int32)
         phi, base_ys = recipe.fw_explainer(
             m_config, p, xs, mask_1, v_1, v_0,
             deterministic=rng is None, rng=rng,
         )
-        loss_cls = cross_entropy_on_probs(base_ys, zs)
-        loss_shap = loss_shapley(masks_bmp, v_0, v_s, v_1, phi)
+        loss_cls = cross_entropy_on_probs(base_ys, zs, weights)
+        loss_shap = loss_shapley(masks_bmp, v_0, v_s, v_1, phi, weights)
         return loss_cls + loss_shap, (loss_cls, loss_shap, base_ys)
 
     step = make_train_step(tx, joint_loss)
     eval_loss = jax.jit(
-        lambda p, xs, zs, masks, v_0, v_s, v_1: joint_loss(
-            p, xs, zs, masks, v_0, v_s, v_1, None
+        lambda p, xs, zs, masks, v_0, v_s, v_1, weights: joint_loss(
+            p, xs, zs, masks, v_0, v_s, v_1, None, weights
         )
     )
 
     def run_epoch(epoch: int, rng, lr, train: bool):
         nonlocal params, opt_state
-        cls_sum, reg_sum, tot_sum, correct, total = 0.0, 0.0, 0.0, 0, 0
-        items = (
-            d_loader.train(config.train_explainer.batch_size) if train
-            else d_loader.test(config.train_explainer.batch_size)
-        )
+        state = {"cls": 0.0, "reg": 0.0, "tot": 0.0, "correct": 0, "total": 0}
         tag = "train" if train else "test"
-        update_mask = ones_mask(params)
-        for batch_idx, (_inputs, _targets) in enumerate(items):
-            xs, zs = gen_input(_inputs, _targets)
-            batch = xs.shape[0]
-            xs, zs = cast_input(jnp.asarray(xs)), jnp.asarray(zs)
-            mask_key = jax.random.fold_in(rng, 2 * batch_idx)
-            step_rng = jax.random.fold_in(rng, 2 * batch_idx + 1)
-            masks = mask_shapley(mask_key, batch * n_mask_samples, n_players)
-            masks = masks.reshape(batch, n_mask_samples, n_players)
-            v_s, v_1 = teacher(srg_params, xs, masks)
-            if train:
-                params, opt_state, loss, aux = step(
-                    params, opt_state, lr, update_mask,
-                    xs, zs, masks, surrogate_null, v_s, v_1, step_rng,
-                )
-            else:
-                loss, aux = eval_loss(params, xs, zs, masks, surrogate_null,
-                                      v_s, v_1)
-            loss_cls, loss_shap, base_ys = aux
-            cls_v, reg_v, tot_v = float(loss_cls), float(loss_shap), float(loss)
-            cls_sum += cls_v
-            reg_sum += reg_v
-            tot_sum += tot_v
-            correct += int(np.sum(np.argmax(np.asarray(base_ys), axis=1)
-                                  == np.asarray(zs)))
-            total += batch
+
+        def emit(batch_idx, vals, host):
+            cls_v, reg_v, tot_v, base_np = (
+                float(vals[0]), float(vals[1]), float(vals[2]),
+                np.asarray(vals[3]))
+            zs_np, batch = host
+            state["cls"] += cls_v
+            state["reg"] += reg_v
+            state["tot"] += tot_v
+            state["correct"] += int(
+                np.sum(np.argmax(base_np[:batch], axis=1) == zs_np))
+            state["total"] += batch
             env.log(
                 f"  > epoch {epoch} :{batch_idx}:{tag} // "
                 f"loss: cls {cls_v / batch:.6f} shap {reg_v / batch:.6f} "
                 f"tot {tot_v / batch:.6f} // "
-                f"acc: {100.0 * correct / total:.3f}%, {correct}/{total}"
+                f"acc: {100.0 * state['correct'] / state['total']:.3f}%, "
+                f"{state['correct']}/{state['total']}"
             )
-        total = max(total, 1)
-        return cls_sum / total, reg_sum / total, tot_sum / total, correct / total
+
+        drain = LossDrain(emit)
+        items = (
+            d_loader.train(config.train_explainer.batch_size) if train
+            else d_loader.test(config.train_explainer.batch_size)
+        )
+        update_mask = ones_mask(params)
+        for batch_idx, (_inputs, _targets) in enumerate(items):
+            xs, zs = gen_input(_inputs, _targets)
+            batch = xs.shape[0]
+            zs_np = np.asarray(zs)
+            xs, zs_p, weights = pad_batch(
+                xs, zs, config.train_explainer.batch_size)
+            xs, zs_j = cast_input(jnp.asarray(xs)), jnp.asarray(zs_p)
+            w = jnp.asarray(weights)
+            padded = xs.shape[0]
+            mask_key = jax.random.fold_in(rng, 2 * batch_idx)
+            step_rng = jax.random.fold_in(rng, 2 * batch_idx + 1)
+            masks = mask_shapley(mask_key, padded * n_mask_samples, n_players)
+            masks = masks.reshape(padded, n_mask_samples, n_players)
+            v_s, v_1 = teacher(srg_params, xs, masks)
+            if train:
+                params, opt_state, loss, aux = step(
+                    params, opt_state, lr, update_mask,
+                    xs, zs_j, masks, surrogate_null, v_s, v_1, step_rng, w,
+                )
+            else:
+                loss, aux = eval_loss(params, xs, zs_j, masks, surrogate_null,
+                                      v_s, v_1, w)
+            loss_cls, loss_shap, base_ys = aux
+            drain.push((loss_cls, loss_shap, loss, base_ys),
+                       (zs_np, batch))
+        drain.flush()
+        total = max(state["total"], 1)
+        return (state["cls"] / total, state["reg"] / total,
+                state["tot"] / total, state["correct"] / total)
 
     for epoch in range(epoch_start + 1, config.train_explainer.epochs + 1):
         set_iterative_seed(config.seed, f"train_explainer[epoch={epoch}]")

@@ -28,13 +28,14 @@ from ..utils.seeding import iterative_key, set_iterative_seed
 from .env import ExpEnv
 from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
 from .training import (
+    LossDrain,
     cast_input,
     maybe_enable_debug_nans,
     cosine_lr,
-    defer_loss_fetch,
     filter_mask,
     make_optimizer,
     ones_mask,
+    pad_batch,
 )
 
 
@@ -93,47 +94,45 @@ def train_explainer(env: ExpEnv) -> None:
                                      n_mask_samples, tx)
     eval_step = make_explainer_eval_step(recipe, m_config, n_players,
                                          n_mask_samples)
-    deferred = defer_loss_fetch()
 
     def run_epoch(epoch: int, rng, lr, update_mask, ltt_active, train: bool):
         nonlocal params, opt_state
-        losses, sizes, total = [], [], 0
+        state = {"sum": 0.0, "total": 0}
+        tag = "train" if train else "test"
+
+        def emit(batch_idx, vals, host):
+            loss_val, (batch,) = float(vals[0]), host
+            state["sum"] += loss_val
+            state["total"] += batch
+            env.log(
+                f"  > epoch {epoch} :{batch_idx}:{tag} // "
+                f"loss: shap {loss_val / batch:.6f}, fin {state['total']}"
+            )
+
+        drain = LossDrain(emit)
         items = (
             d_loader.train(config.train_explainer.batch_size) if train
             else d_loader.test(config.train_explainer.batch_size)
         )
-        tag = "train" if train else "test"
         for batch_idx, (_inputs, _targets) in enumerate(items):
             xs, _zs = gen_input(_inputs, _targets)
             batch = xs.shape[0]
+            xs, _, weights = pad_batch(
+                xs, None, config.train_explainer.batch_size)
             xs = place_batch(cast_input(jnp.asarray(xs)))
+            w = jnp.asarray(weights)
             step_key = jax.random.fold_in(rng, batch_idx)
             if train:
                 params, opt_state, loss = step(
                     params, opt_state, srg_params, surrogate_null, xs,
-                    step_key, lr, update_mask, ltt_active,
+                    step_key, lr, update_mask, ltt_active, w,
                 )
             else:
                 loss = eval_step(params, srg_params, surrogate_null, xs,
-                                 step_key, ltt_active)
-            losses.append(loss)
-            sizes.append(batch)
-            total += batch
-            if not deferred:  # per-batch host sync only in parity-log mode
-                env.log(
-                    f"  > epoch {epoch} :{batch_idx}:{tag} // "
-                    f"loss: shap {float(loss) / batch:.6f}, fin {total}"
-                )
-        fetched = [float(v) for v in jax.device_get(losses)]
-        if deferred:
-            fin = 0
-            for batch_idx, (loss_val, batch) in enumerate(zip(fetched, sizes)):
-                fin += batch
-                env.log(
-                    f"  > epoch {epoch} :{batch_idx}:{tag} // "
-                    f"loss: shap {loss_val / batch:.6f}, fin {fin}"
-                )
-        return sum(fetched) / max(total, 1)
+                                 step_key, ltt_active, w)
+            drain.push((loss,), (batch,))
+        drain.flush()
+        return state["sum"] / max(state["total"], 1)
 
     for epoch in range(epoch_start + 1, config.train_explainer.epochs + 1):
         set_iterative_seed(config.seed, f"train_explainer[epoch={epoch}]")

@@ -19,6 +19,7 @@ from ..utils.seeding import iterative_key, set_iterative_seed
 from .env import ExpEnv
 from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
 from .training import (
+    LossDrain,
     cast_input,
     maybe_enable_debug_nans,
     cosine_lr,
@@ -27,6 +28,7 @@ from .training import (
     make_optimizer,
     make_train_step,
     ones_mask,
+    pad_batch,
 )
 
 
@@ -70,12 +72,12 @@ def train_surrogate(env: ExpEnv) -> None:
         lambda p, xs, mask: recipe.fw_classifier(m_config, p, xs, mask)[1]
     )
 
-    def loss_fn(p, xs, mask, orig_ys, rng, ltt_active):
+    def loss_fn(p, xs, mask, orig_ys, rng, ltt_active, weights):
         adapt_ys, _ = recipe.fw_surrogate(
             m_config, p, xs, mask, deterministic=False, rng=rng,
             **_ltt_kw(ltt_active),
         )
-        return loss_logits_kl_divergence(orig_ys, adapt_ys), adapt_ys
+        return loss_logits_kl_divergence(orig_ys, adapt_ys, weights), adapt_ys
 
     step = make_train_step(tx, loss_fn)
     eval_fwd = jax.jit(
@@ -86,43 +88,58 @@ def train_surrogate(env: ExpEnv) -> None:
 
     def run_epoch(epoch: int, rng, lr, update_mask, ltt_active, train: bool):
         nonlocal params, opt_state
-        kld_sum, cls_sum, correct, total = 0.0, 0.0, 0, 0
+        state = {"kld": 0.0, "cls": 0.0, "correct": 0, "total": 0}
+        tag = "train" if train else "test"
+
+        def emit(batch_idx, vals, host):
+            kld_val, cls_val, adapt_np = (
+                float(vals[0]), float(vals[1]), np.asarray(vals[2]))
+            zs_np, batch = host
+            state["kld"] += kld_val
+            state["cls"] += cls_val
+            state["correct"] += int(
+                np.sum(np.argmax(adapt_np[:batch], axis=1) == zs_np))
+            state["total"] += batch
+            env.log(
+                f"  > epoch {epoch} :{batch_idx}:{tag} // "
+                f"loss: kld {kld_val / batch:.6f} cls {cls_val / batch:.6f} // "
+                f"acc: {100.0 * state['correct'] / state['total']:.3f}%, "
+                f"{state['correct']}/{state['total']}"
+            )
+
+        drain = LossDrain(emit)
         items = (
             d_loader.train(config.train_surrogate.batch_size) if train
             else d_loader.test(config.train_surrogate.batch_size)
         )
-        tag = "train" if train else "test"
         for batch_idx, (_inputs, _targets) in enumerate(items):
             xs, zs = gen_input(_inputs, _targets)
             batch = xs.shape[0]
+            xs, zs_p, weights = pad_batch(
+                xs, zs, config.train_surrogate.batch_size)
             xs = place_batch(cast_input(jnp.asarray(xs)))
+            w = jnp.asarray(weights)
+            padded = xs.shape[0]
             mask_key = jax.random.fold_in(rng, 2 * batch_idx)
             step_rng = jax.random.fold_in(rng, 2 * batch_idx + 1)
-            mask_1 = jnp.ones((batch, n_players), dtype=jnp.int32)
-            mask_rand = mask_purely_uniform(mask_key, batch, n_players)
+            mask_1 = jnp.ones((padded, n_players), dtype=jnp.int32)
+            mask_rand = mask_purely_uniform(mask_key, padded, n_players)
             orig_ys = teacher_fwd(cls_params, jnp.asarray(xs), mask_1)
             if train:
                 params, opt_state, loss_kld, adapt_ys = step(
                     params, opt_state, lr, update_mask,
                     jnp.asarray(xs), mask_rand, orig_ys, step_rng, ltt_active,
+                    w,
                 )
             else:
                 adapt_ys = eval_fwd(params, jnp.asarray(xs), mask_rand,
                                     ltt_active)
-                loss_kld = loss_logits_kl_divergence(orig_ys, adapt_ys)
-            loss_cls = cross_entropy_on_probs(adapt_ys, jnp.asarray(zs))
-            kld_val, cls_val = float(loss_kld), float(loss_cls)
-            kld_sum += kld_val
-            cls_sum += cls_val
-            correct += int(np.sum(np.argmax(np.asarray(adapt_ys), axis=1) == zs))
-            total += batch
-            env.log(
-                f"  > epoch {epoch} :{batch_idx}:{tag} // "
-                f"loss: kld {kld_val / batch:.6f} cls {cls_val / batch:.6f} // "
-                f"acc: {100.0 * correct / total:.3f}%, {correct}/{total}"
-            )
-        total = max(total, 1)
-        return kld_sum / total, cls_sum / total, correct / total
+                loss_kld = loss_logits_kl_divergence(orig_ys, adapt_ys, w)
+            loss_cls = cross_entropy_on_probs(adapt_ys, jnp.asarray(zs_p), w)
+            drain.push((loss_kld, loss_cls, adapt_ys), (np.asarray(zs), batch))
+        drain.flush()
+        total = max(state["total"], 1)
+        return state["kld"] / total, state["cls"] / total, state["correct"] / total
 
     for epoch in range(epoch_start + 1, config.train_surrogate.epochs + 1):
         set_iterative_seed(config.seed, f"train_surrogate[epoch={epoch}]")

@@ -27,8 +27,10 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
+from ..parallel.mesh import pad_to_multiple
 from ..recipes.types import Params
 
 # torch.optim.AdamW defaults — the reference never overrides them
@@ -61,6 +63,67 @@ def defer_loss_fetch() -> bool:
     then appear live, matching the reference's cadence exactly (the lines
     themselves are identical either way, only *when* they print changes)."""
     return os.environ.get("AUTOGNOTHI_DEFER_LOSS_FETCH") == "1"
+
+
+def pad_ragged() -> bool:
+    """AUTOGNOTHI_PAD_RAGGED=0 opts out of fixed-shape batch padding."""
+    return os.environ.get("AUTOGNOTHI_PAD_RAGGED", "1") != "0"
+
+
+def pad_batch(xs, zs, batch_size: int):
+    """Edge-pad a (possibly ragged final) batch up to the configured
+    `batch_size` -> (xs, zs, weights <padded> float32 marking real rows).
+
+    The streaming loaders yield one short final batch per epoch
+    (reference datasets/loader.py:119-125); without padding that shape
+    retraces every jitted step.  With it, each loader compiles ONE step
+    shape, and the weighted-mean losses (cross_entropy_on_probs,
+    loss_logits_kl_divergence, loss_shapley) make the padded result equal
+    the unpadded one — padded rows carry zero weight in both the loss value
+    and the gradients (tests/test_ragged_padding.py)."""
+    xs = np.asarray(xs)
+    real = xs.shape[0]
+    if not pad_ragged():
+        weights = np.ones((real,), np.float32)
+        return xs, (None if zs is None else np.asarray(zs)), weights
+    xs = pad_to_multiple(xs, batch_size)
+    zs_p = None if zs is None else pad_to_multiple(np.asarray(zs), batch_size)
+    weights = np.zeros((xs.shape[0],), np.float32)
+    weights[:real] = 1.0
+    return xs, zs_p, weights
+
+
+class LossDrain:
+    """Per-batch device->host transfer buffer shared by all trainers.
+
+    `push(device_vals, host_vals)` records one batch; `flush()` ends the
+    epoch.  In deferred mode (`defer_loss_fetch`) all device values are
+    fetched in ONE `jax.device_get` at flush time, so the device queue never
+    stalls on the tunnel round-trip; otherwise each batch is fetched
+    immediately (live logs, reference cadence).  `emit(batch_idx,
+    device_vals_np, host_vals)` runs in batch order in both modes, so
+    running totals / log lines are byte-identical."""
+
+    def __init__(self, emit: Callable[[int, tuple, tuple], None]):
+        self._emit = emit
+        self.deferred = defer_loss_fetch()
+        self._pend: list = []
+        self._count = 0
+
+    def push(self, device_vals: tuple, host_vals: tuple = ()) -> None:
+        if self.deferred:
+            self._pend.append((device_vals, host_vals))
+        else:
+            self._emit(self._count, jax.device_get(device_vals), host_vals)
+        self._count += 1
+
+    def flush(self) -> None:
+        if self._pend:
+            fetched = jax.device_get([d for d, _ in self._pend])
+            for i, (vals, (_, host)) in enumerate(zip(fetched, self._pend)):
+                self._emit(i, vals, host)
+        self._pend.clear()
+        self._count = 0
 
 
 def maybe_enable_debug_nans() -> None:
@@ -134,9 +197,16 @@ def make_train_step(
     return step
 
 
-def cross_entropy_on_probs(probs: jax.Array, labels: jax.Array) -> jax.Array:
+def cross_entropy_on_probs(
+    probs: jax.Array, labels: jax.Array, weights: Optional[jax.Array] = None
+) -> jax.Array:
     """torch F.cross_entropy applied to the models' softmax outputs — i.e.
     log_softmax over *probabilities* (the reference's observable behavior,
-    vanilla_bert.py:52,77 + train_classifier.py:136)."""
+    vanilla_bert.py:52,77 + train_classifier.py:136).  `weights` <batch>
+    marks real rows (0 = padding): weighted mean."""
     logp = jax.nn.log_softmax(probs, axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    if weights is None:
+        return jnp.mean(nll)
+    w = weights.astype(nll.dtype)
+    return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1.0)

@@ -10,13 +10,17 @@ vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
 denominator is an engineering estimate of the torch reference's fw_final
 throughput on A100 (eager fp16, batch-optimal): ~450 explanations/sec
 (3 ViT-B forwards/explanation at ~1350 img/s).  Replace with a measured
-number when an A100 run exists.
+number when an A100 run exists.  A MEASURED anchor does exist on this host:
+the torch reference's own measure_performance protocol yields 0.932 expl/s
+on 1 CPU core (playground/perf_anchor.py, BASELINE.md round-2 table); the
+extra `vs_ref_cpu_measured` field reports against that.
 """
 
 import json
 import time
 
 A100_TORCH_EST_EXPL_PER_SEC = 450.0
+TORCH_CPU_MEASURED_EXPL_PER_SEC = 0.932  # perf_anchor.py, same-host CPU
 
 # B=256 measured on the chip: 1263 expl/s vs 1170 at B=64 (weights amortize
 # on the bandwidth-bound v5e; past 256 the curve is flat: 1272@512, 1281@1024)
@@ -69,6 +73,8 @@ def main() -> None:
         "value": round(expl_per_sec, 2),
         "unit": "explanations/s",
         "vs_baseline": round(expl_per_sec / A100_TORCH_EST_EXPL_PER_SEC, 3),
+        "vs_ref_cpu_measured": round(
+            expl_per_sec / TORCH_CPU_MEASURED_EXPL_PER_SEC, 1),
     }))
 
 

@@ -38,7 +38,8 @@ def clone_experiment(ref_exp: pathlib.Path, dst: pathlib.Path) -> pathlib.Path:
         shutil.rmtree(dst)
     dst.mkdir(parents=True)
     shutil.copy(ref_exp / ".hparams.json", dst / ".hparams.json")
-    shutil.copytree(ref_exp / "tokenizer", dst / "tokenizer")
+    if (ref_exp / "tokenizer").exists():  # ViT experiments carry none
+        shutil.copytree(ref_exp / "tokenizer", dst / "tokenizer")
     for ckpt in ref_exp.glob("*.ckpt"):
         shutil.copy(ckpt, dst / ckpt.name)
     return dst

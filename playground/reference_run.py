@@ -114,6 +114,26 @@ BASE_NET_PARAMS = {
 }
 
 
+VIT_BASE_NET_PARAMS = {
+    # the reference's shipped vit_base_imagenette_vanilla net params
+    # (/root/reference/experiments/vit_base_imagenette_vanilla/.hparams.json)
+    "attention_probs_dropout_prob": 0.0,
+    "explainer_attn_num_layers": 1,
+    "explainer_head_hidden_size": 3072,
+    "explainer_normalize": True,
+    "hidden_dropout_prob": 0.0,
+    "hidden_size": 768,
+    "intermediate_size": 3072,
+    "layer_norm_eps": 1e-12,
+    "num_attention_heads": 12,
+    "num_hidden_layers": 12,
+    "num_labels": 10,
+    "img_channels": 3,
+    "img_px_size": 224,
+    "img_patch_size": 16,
+}
+
+
 def hparams(net_params: dict, epochs: tuple, n_mask_samples: int = 4) -> dict:
     e_cls, e_srg, e_exp = epochs
     logger = {
@@ -126,9 +146,12 @@ def hparams(net_params: dict, epochs: tuple, n_mask_samples: int = 4) -> dict:
         "seed": 3407,
         "dataset": {"kind": "nlp_samples"},
         "net": {
-            "kind": "vanilla_bert",
+            "kind": "vanilla_vit" if "img_px_size" in net_params else "vanilla_bert",
             "version": "beta.1.01",
-            "base_model": "bert_tayp",
+            "base_model": (
+                "ft_vit_base_imagenette" if "img_px_size" in net_params
+                else "bert_tayp"
+            ),
             "params": dict(net_params),
         },
         "train_classifier": {
@@ -179,10 +202,9 @@ def build_shared_tokenizer(exp: pathlib.Path, corpus_texts) -> int:
 
 
 def seed_experiment(exp: pathlib.Path, net_params: dict, epochs: tuple) -> None:
-    """Materialize the experiment dir at the post-stage-0 state."""
+    """Materialize the experiment dir at the post-stage-0 state (BERT)."""
     import torch
 
-    sys.path.insert(0, "/root")
     from reference.models.vanilla_bert import (
         VanillaBertClassifier,
         VanillaBertConfig,
@@ -198,6 +220,27 @@ def seed_experiment(exp: pathlib.Path, net_params: dict, epochs: tuple) -> None:
     torch.manual_seed(0)
     cfg = VanillaBertConfig(**params)
     model = VanillaBertClassifier(cfg)
+    torch.save(model.state_dict(), exp / "classifier-epoch-0.ckpt")
+
+
+def seed_vit_experiment(exp: pathlib.Path, net_params: dict, epochs: tuple) -> None:
+    """Materialize a ViT experiment dir at the post-stage-0 state.  The
+    config's dataset section is nlp_samples (never iterated at 0 epochs);
+    perf measurement supplies an image DatasetLoader explicitly."""
+    import torch
+
+    from reference.models.vanilla_vit import (
+        VanillaViTClassifier,
+        VanillaViTConfig,
+    )
+
+    exp.mkdir(parents=True, exist_ok=True)
+    (exp / ".hparams.json").write_text(
+        json.dumps(hparams(dict(net_params), epochs), indent=2), encoding="utf-8"
+    )
+    torch.manual_seed(0)
+    cfg = VanillaViTConfig(**net_params)
+    model = VanillaViTClassifier(cfg)
     torch.save(model.state_dict(), exp / "classifier-epoch-0.ckpt")
 
 
