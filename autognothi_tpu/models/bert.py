@@ -202,9 +202,11 @@ def _bert_layer_body(
     fused = pallas_mode() == "2" and dropout_off and mask_bias is not None \
         and h.ndim == 3
     if fused:
+        from .common import quant_mode
         from ..ops.attention_block import attention_block
         from ..ops.mlp_block import mlp_block
 
+        quant = quant_mode()
         ln1 = (
             None if ident_ln1 else
             (layer["attention.output.LayerNorm.weight"],
@@ -221,7 +223,7 @@ def _bert_layer_body(
              layer["attention.output.dense.weight"],
              layer["attention.output.dense.bias"]),
             cfg.num_attention_heads, "add", use_pallas=True,
-            ln=ln1, ln_position="epilogue",
+            ln=ln1, ln_position="epilogue", quant=quant,
         )
         return mlp_block(
             attn_out,
@@ -230,7 +232,7 @@ def _bert_layer_body(
             use_pallas=True,
             ln=(layer["output.LayerNorm.weight"],
                 layer["output.LayerNorm.bias"], cfg.layer_norm_eps),
-            ln_position="epilogue",
+            ln_position="epilogue", quant=quant,
         )
 
     ctx = self_attention(

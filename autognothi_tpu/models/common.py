@@ -132,6 +132,19 @@ def _pallas_attention_enabled() -> bool:
     return pallas_mode() == "1"
 
 
+_INT8_FLAG = os.environ.get("AUTOGNOTHI_INT8", "0")
+
+
+def quant_mode() -> str:
+    """AUTOGNOTHI_INT8=1 switches the fused block kernels to the W8A8
+    serving path: per-out-channel int8 weights + dynamic per-token int8
+    activations on the projections/MLP matmuls (int8 MXU is ~1.8x bf16 on
+    this chip — playground/bench_int8.py).  Forward-only: backward (rarely
+    taken through the kernels in serving) recomputes in bf16.  Off by
+    default; faithfulness drift is measured in BASELINE.md before use."""
+    return "int8" if _INT8_FLAG == "1" and pallas_mode() == "2" else "none"
+
+
 def self_attention(
     h: jax.Array,
     wq: jax.Array,

@@ -230,9 +230,11 @@ def _vit_layer_body(
     fused = pallas_mode() == "2" and dropout_off and mask is not None \
         and h.ndim == 3
     if fused:
+        from .common import quant_mode
         from ..ops.attention_block import attention_block
         from ..ops.mlp_block import mlp_block
 
+        quant = quant_mode()
         ln1 = (
             (layer["layernorm_before.weight"], layer["layernorm_before.bias"],
              cfg.layer_norm_eps)
@@ -249,7 +251,7 @@ def _vit_layer_body(
              layer["attention.output.dense.weight"],
              layer["attention.output.dense.bias"]),
             cfg.num_attention_heads, "mul", use_pallas=True,
-            ln=ln1, ln_position="prologue",
+            ln=ln1, ln_position="prologue", quant=quant,
         )
         return mlp_block(
             h,
@@ -258,7 +260,7 @@ def _vit_layer_body(
             use_pallas=True,
             ln=(layer["layernorm_after.weight"], layer["layernorm_after.bias"],
                 cfg.layer_norm_eps),
-            ln_position="prologue",
+            ln_position="prologue", quant=quant,
         )
 
     if has_ln1:

@@ -140,6 +140,116 @@ def _kernel(mask_ref, r_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _kernel_q(mask_ref, r_ref, wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
+              wv_ref, sv_ref, bv_ref, wo_ref, so_ref, bo_ref,
+              lnw_ref, lnb_ref, o_ref,
+              *, n_heads: int, mode: str, ln_position: str, ln_eps: float):
+    """W8A8 variant: the four projections run int8 x int8 -> int32 on the
+    MXU (per-out-channel weight scales + dynamic per-token activation
+    scales); the T x T score/context matmuls stay bf16 (ViT: <4% of block
+    FLOPs; quantizing them buys little and costs accuracy)."""
+    from .mlp_block import _quant_rows
+
+    resid = r_ref[0]  # <T, H>
+    if ln_position == "prologue":
+        x = _ln32(resid, lnw_ref[0], lnb_ref[0], ln_eps)
+    else:
+        x = resid
+    t, h = x.shape
+    d = h // n_heads
+    scale = 1.0 / math.sqrt(d)
+    mask_row = mask_ref[0, 0]  # <T>
+
+    xq, xs = _quant_rows(x.astype(jnp.float32))
+
+    def proj_q(w_ref, s_ref, b_ref):
+        acc = jax.lax.dot_general(
+            xq, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * xs * s_ref[0] \
+            + b_ref[0].astype(jnp.float32)
+        return y.astype(x.dtype)
+
+    q = proj_q(wq_ref, sq_ref, bq_ref)  # <T, H>
+    k = proj_q(wk_ref, sk_ref, bk_ref)
+    v = proj_q(wv_ref, sv_ref, bv_ref)
+
+    ctx_parts = []
+    for head in range(n_heads):
+        sl = slice(head * d, (head + 1) * d)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        scores = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # <T, T>
+        if mode == "add":
+            scores = scores + mask_row[None, :]
+        else:
+            scores = scores * mask_row[None, :]
+        probs = jax.nn.softmax(scores, axis=-1).astype(vh.dtype)
+        ctx_parts.append(jax.lax.dot_general(
+            probs, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype))
+    ctx = jnp.concatenate(ctx_parts, axis=-1)  # <T, H>
+
+    cq, cs = _quant_rows(ctx.astype(jnp.float32))
+    acc = jax.lax.dot_general(
+        cq, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * cs * so_ref[0] \
+        + bo_ref[0].astype(jnp.float32)
+    out = resid + out.astype(resid.dtype)
+    if ln_position == "epilogue":
+        out = _ln32(out, lnw_ref[0], lnb_ref[0], ln_eps)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _pallas_attention_block_q(
+    resid, mask_row, wq, bq, wk, bk, wv, bv, wo, bo, ln_w, ln_b,
+    *, n_heads: int, mode: str, ln_position: str, ln_eps: float,
+    interpret: bool = False,
+):
+    from .mlp_block import quant_cols
+
+    b, t, h = resid.shape
+    mask3 = mask_row.astype(jnp.float32)[:, None, :]
+    wq_q, sq = quant_cols(wq)
+    wk_q, sk = quant_cols(wk)
+    wv_q, sv = quant_cols(wv)
+    wo_q, so = quant_cols(wo)
+
+    act_spec = pl.BlockSpec((1, t, h), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _kernel_q, n_heads=n_heads, mode=mode, ln_position=ln_position,
+        ln_eps=ln_eps,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            act_spec,
+            w_spec, b_spec, b_spec,
+            w_spec, b_spec, b_spec,
+            w_spec, b_spec, b_spec,
+            w_spec, b_spec, b_spec,
+            b_spec, b_spec,
+        ],
+        out_specs=act_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, h), resid.dtype),
+        interpret=interpret,
+    )(mask3, resid, wq_q, sq, bq[None], wk_q, sk, bk[None],
+      wv_q, sv, bv[None], wo_q, so, bo[None], ln_w[None], ln_b[None])
+
+
 def _pallas_attention_block(
     resid, mask_row, wq, bq, wk, bk, wv, bv, wo, bo, ln_w, ln_b,
     *, n_heads: int, mode: str, ln_position: str, ln_eps: float,
@@ -177,13 +287,15 @@ def _pallas_attention_block(
 
 @functools.lru_cache(maxsize=None)
 def _make_block_fn(n_heads: int, mode: str, ln_position: str, ln_eps: float,
-                   interpret: bool):
+                   interpret: bool, quant: str = "none"):
     xla = functools.partial(_xla_attention_block, n_heads=n_heads, mode=mode,
                             ln_position=ln_position, ln_eps=ln_eps)
+    pallas = (_pallas_attention_block_q if quant == "int8"
+              else _pallas_attention_block)
 
     @jax.custom_vjp
     def block(resid, mask_row, wq, bq, wk, bk, wv, bv, wo, bo, ln_w, ln_b):
-        return _pallas_attention_block(
+        return pallas(
             resid, mask_row, wq, bq, wk, bk, wv, bv, wo, bo, ln_w, ln_b,
             n_heads=n_heads, mode=mode, ln_position=ln_position,
             ln_eps=ln_eps, interpret=interpret,
@@ -222,13 +334,15 @@ def attention_block(
     ln: Optional[Tuple[jax.Array, jax.Array, float]] = None,
     ln_position: str = "none",  # "prologue" (pre-norm) | "epilogue" (post)
     interpret: bool = False,
+    quant: str = "none",
 ) -> jax.Array:
     """-> residual-attended block output with optional fused LayerNorm.
 
     prologue: resid + OutProj(Attn(LN(resid)));
     epilogue: LN(resid + OutProj(Attn(resid)));
     none:     resid + OutProj(Attn(resid)).
-    Weights in torch (out, in) layout are transposed at trace time."""
+    Weights in torch (out, in) layout are transposed at trace time.
+    quant="int8": W8A8 projections in the fused kernel (serving path)."""
     wq, bq, wk, bk, wv, bv, wo, bo = weights
     if ln is None:
         ln_w = jnp.ones((resid.shape[-1],), resid.dtype)
@@ -243,6 +357,6 @@ def attention_block(
             ln_w, ln_b)
     if use_pallas and _fits_vmem(resid):
         return _make_block_fn(n_heads, mode, ln_position, float(ln_eps),
-                              interpret)(*args)
+                              interpret, quant)(*args)
     return _xla_attention_block(*args, n_heads=n_heads, mode=mode,
                                 ln_position=ln_position, ln_eps=float(ln_eps))

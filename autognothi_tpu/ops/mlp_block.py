@@ -49,6 +49,25 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf_approx(x * (2.0 ** -0.5)))
 
 
+def quant_cols(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-output-channel int8 quantization of an (in, out) weight
+    -> (int8 <in, out>, f32 <1, out> scale).  Runs in-graph before the
+    pallas_call: ~2ms for all of ViT-B per fw_final invocation, <1% at the
+    batch sizes the serving path uses."""
+    w32 = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(w32), axis=0, keepdims=True) / 127.0 + 1e-12
+    return jnp.round(w32 / scale).astype(jnp.int8), scale
+
+
+def _quant_rows(x32: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Dynamic symmetric per-row (per-token) int8 activation quantization.
+    One reciprocal per ROW, broadcast multiply per element (an elementwise
+    divide over <T, 4H> costs real VPU time in the kernel)."""
+    amax = jnp.max(jnp.abs(x32), axis=1, keepdims=True) + 1e-12
+    inv = 127.0 / amax
+    return jnp.round(x32 * inv).astype(jnp.int8), amax * (1.0 / 127.0)
+
+
 def _xla_mlp_block(resid, w1, b1, w2, b2, ln_w, ln_b,
                    *, ln_position: str, ln_eps: float):
     """LN? -> W1 -> gelu -> W2 -> +resid -> LN? (weights (in, out) layout)."""
@@ -87,6 +106,69 @@ def _kernel(r_ref, w1_ref, b1_ref, w2_ref, b2_ref, lnw_ref, lnb_ref, o_ref,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _kernel_q(r_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+              lnw_ref, lnb_ref, o_ref, *, ln_position: str, ln_eps: float):
+    """W8A8 variant: int8 weights (per-out-channel scales) + dynamic
+    per-token activation quantization; both dots run on the int8 MXU path
+    (~1.8x bf16 on this chip, playground/bench_int8.py)."""
+    resid = r_ref[0]  # <T, H>
+    if ln_position == "prologue":
+        x = _ln32(resid, lnw_ref[0], lnb_ref[0], ln_eps)
+    else:
+        x = resid
+    xq, xs = _quant_rows(x.astype(jnp.float32))
+    acc = jax.lax.dot_general(
+        xq, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    inter = acc.astype(jnp.float32) * xs * s1_ref[0] \
+        + b1_ref[0].astype(jnp.float32)
+    inter = _gelu_exact(inter)
+    iq, is_ = _quant_rows(inter)
+    acc2 = jax.lax.dot_general(
+        iq, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc2.astype(jnp.float32) * is_ * s2_ref[0] \
+        + b2_ref[0].astype(jnp.float32)
+    out = resid + out.astype(resid.dtype)
+    if ln_position == "epilogue":
+        out = _ln32(out, lnw_ref[0], lnb_ref[0], ln_eps)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _pallas_mlp_block_q(resid, w1, b1, w2, b2, ln_w, ln_b,
+                        *, ln_position: str, ln_eps: float,
+                        interpret: bool = False):
+    b, t, h = resid.shape
+    inter_dim = w1.shape[1]
+    w1_q, s1 = quant_cols(w1)
+    w2_q, s2 = quant_cols(w2)
+    act_spec = pl.BlockSpec((1, t, h), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    h_vec = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    i_vec = pl.BlockSpec((1, inter_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_q, ln_position=ln_position,
+                               ln_eps=ln_eps)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            act_spec,
+            pl.BlockSpec((h, inter_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            i_vec, i_vec,
+            pl.BlockSpec((inter_dim, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            h_vec, h_vec, h_vec, h_vec,
+        ],
+        out_specs=act_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, h), resid.dtype),
+        interpret=interpret,
+    )(resid, w1_q, s1, b1[None], w2_q, s2, b2[None], ln_w[None], ln_b[None])
+
+
 def _pallas_mlp_block(resid, w1, b1, w2, b2, ln_w, ln_b,
                       *, ln_position: str, ln_eps: float,
                       interpret: bool = False):
@@ -117,15 +199,17 @@ def _pallas_mlp_block(resid, w1, b1, w2, b2, ln_w, ln_b,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_block_fn(ln_position: str, ln_eps: float, interpret: bool):
+def _make_block_fn(ln_position: str, ln_eps: float, interpret: bool,
+                   quant: str = "none"):
     xla = functools.partial(_xla_mlp_block, ln_position=ln_position,
                             ln_eps=ln_eps)
+    pallas = _pallas_mlp_block_q if quant == "int8" else _pallas_mlp_block
 
     @jax.custom_vjp
     def block(resid, w1, b1, w2, b2, ln_w, ln_b):
-        return _pallas_mlp_block(resid, w1, b1, w2, b2, ln_w, ln_b,
-                                 ln_position=ln_position, ln_eps=ln_eps,
-                                 interpret=interpret)
+        return pallas(resid, w1, b1, w2, b2, ln_w, ln_b,
+                      ln_position=ln_position, ln_eps=ln_eps,
+                      interpret=interpret)
 
     def fwd(*args):
         return block(*args), args
@@ -247,12 +331,14 @@ def mlp_block(
     ln: Optional[Tuple[jax.Array, jax.Array, float]] = None,
     ln_position: str = "none",
     interpret: bool = False,
+    quant: str = "none",
 ) -> jax.Array:
     """prologue: resid + MLP(LN(resid)); epilogue: LN(resid + MLP(resid));
     none: resid + MLP(resid).  When the weights exceed the VMEM budget, the
     intermediate dimension is split across chained separate-input kernels
     (valid because GELU is elementwise per intermediate unit); pathological
-    shapes fall back to XLA."""
+    shapes fall back to XLA.  quant="int8" switches the fused kernel to the
+    W8A8 serving path (forward only; the custom_vjp backward stays bf16)."""
     if ln is None:
         ln_w = jnp.ones((resid.shape[-1],), resid.dtype)
         ln_b = jnp.zeros((resid.shape[-1],), resid.dtype)
@@ -264,7 +350,8 @@ def mlp_block(
             b2, ln_w, ln_b)
     if use_pallas:
         if _fits_vmem(resid, w1):
-            return _make_block_fn(ln_position, float(ln_eps), interpret)(*args)
+            return _make_block_fn(ln_position, float(ln_eps), interpret,
+                                  quant)(*args)
         for n_tiles in (2, 4, 8):
             if w1.shape[0] % n_tiles == 0 and _fits_vmem(
                 resid, w1[: w1.shape[0] // n_tiles]

@@ -17,14 +17,21 @@ extra `vs_ref_cpu_measured` field reports against that.
 """
 
 import json
+import os
 import time
+
+# serving configuration: fused Pallas kernels + the W8A8 int8 path
+# (AUC drift vs fp32 <= 2.1e-4 on the faithfulness gate, top-20 attribution
+# rank overlap 98.3% — BASELINE.md round-2 entries).  Opt out by exporting
+# AUTOGNOTHI_INT8=0 before running.
+os.environ.setdefault("AUTOGNOTHI_INT8", "1")
 
 A100_TORCH_EST_EXPL_PER_SEC = 450.0
 TORCH_CPU_MEASURED_EXPL_PER_SEC = 0.932  # perf_anchor.py, same-host CPU
 
 # B=256 measured on the chip: 1263 expl/s vs 1170 at B=64 (weights amortize
 # on the bandwidth-bound v5e; past 256 the curve is flat: 1272@512, 1281@1024)
-BATCH = int(__import__("os").environ.get("AUTOGNOTHI_BENCH_BATCH", "256"))
+BATCH = int(os.environ.get("AUTOGNOTHI_BENCH_BATCH", "256"))
 WARMUP = 3
 ITERS = 10
 

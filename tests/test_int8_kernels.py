@@ -1,0 +1,84 @@
+"""W8A8 int8 serving kernels (ops/attention_block._kernel_q,
+ops/mlp_block._kernel_q): numerical sanity vs the fp32 XLA reference in
+Pallas interpret mode, and quantizer round-trip properties."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from autognothi_tpu.ops.attention_block import attention_block
+from autognothi_tpu.ops.mlp_block import mlp_block, quant_cols
+
+RNG = np.random.RandomState(0)
+B, T, H, I = 2, 8, 32, 64
+
+
+def test_quant_cols_roundtrip():
+    w = jnp.asarray(RNG.randn(16, 24).astype(np.float32))
+    q, s = quant_cols(w)
+    assert q.dtype == jnp.int8 and s.shape == (1, 24)
+    back = np.asarray(q, np.float32) * np.asarray(s)
+    err = np.abs(back - np.asarray(w)).max()
+    # per-column symmetric int8: error bounded by half a quantization step
+    assert err <= float(np.asarray(s).max()) * 0.51
+
+
+def _mlp_args():
+    resid = jnp.asarray(RNG.randn(B, T, H).astype(np.float32)) * 0.5
+    w1 = jnp.asarray(RNG.randn(I, H).astype(np.float32)) * 0.1
+    b1 = jnp.asarray(RNG.randn(I).astype(np.float32)) * 0.1
+    w2 = jnp.asarray(RNG.randn(H, I).astype(np.float32)) * 0.1
+    b2 = jnp.asarray(RNG.randn(H).astype(np.float32)) * 0.1
+    ln = (jnp.ones((H,)), jnp.zeros((H,)), 1e-12)
+    return resid, w1, b1, w2, b2, ln
+
+
+def test_int8_mlp_block_close_to_fp32():
+    resid, w1, b1, w2, b2, ln = _mlp_args()
+    ref = mlp_block(resid, w1, b1, w2, b2, use_pallas=False,
+                    ln=ln, ln_position="prologue")
+    q = mlp_block(resid, w1, b1, w2, b2, use_pallas=True, interpret=True,
+                  ln=ln, ln_position="prologue", quant="int8")
+    rel = float(jnp.max(jnp.abs(ref - q))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 0.02, rel
+
+
+def test_int8_attention_block_close_to_fp32():
+    resid = jnp.asarray(RNG.randn(B, T, H).astype(np.float32)) * 0.5
+    ws = [jnp.asarray(RNG.randn(H, H).astype(np.float32)) * 0.1
+          for _ in range(4)]
+    bs = [jnp.asarray(RNG.randn(H).astype(np.float32)) * 0.1
+          for _ in range(4)]
+    weights = (ws[0], bs[0], ws[1], bs[1], ws[2], bs[2], ws[3], bs[3])
+    mask = jnp.ones((B, T))
+    ln = (jnp.ones((H,)), jnp.zeros((H,)), 1e-12)
+    for mode in ("mul", "add"):
+        m = mask if mode == "mul" else jnp.zeros((B, T))
+        ref = attention_block(resid, m, weights, 4, mode, use_pallas=False,
+                              ln=ln, ln_position="prologue")
+        q = attention_block(resid, m, weights, 4, mode, use_pallas=True,
+                            interpret=True, ln=ln, ln_position="prologue",
+                            quant="int8")
+        rel = float(jnp.max(jnp.abs(ref - q))) / float(jnp.max(jnp.abs(ref)))
+        assert rel < 0.02, (mode, rel)
+
+
+def test_int8_gradients_flow_through_custom_vjp():
+    """Backward recomputes in bf16/f32 XLA math — grads must be finite and
+    close to the fp32 grads (serving path safety if someone differentiates)."""
+    resid, w1, b1, w2, b2, ln = _mlp_args()
+
+    def loss(f):
+        return lambda r: jnp.sum(f(r) ** 2)
+
+    f_q = loss(lambda r: mlp_block(r, w1, b1, w2, b2, use_pallas=True,
+                                   interpret=True, ln=ln,
+                                   ln_position="prologue", quant="int8"))
+    f_ref = loss(lambda r: mlp_block(r, w1, b1, w2, b2, use_pallas=False,
+                                     ln=ln, ln_position="prologue"))
+    g_q = jax.grad(f_q)(resid)
+    g_ref = jax.grad(f_ref)(resid)
+    assert np.isfinite(np.asarray(g_q)).all()
+    rel = float(jnp.max(jnp.abs(g_q - g_ref))) / (
+        float(jnp.max(jnp.abs(g_ref))) + 1e-9)
+    assert rel < 0.05, rel
