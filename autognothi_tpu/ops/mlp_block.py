@@ -249,6 +249,58 @@ def _kernel_sepx(x_ref, r_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     o_ref[0] = r_ref[0] + out.astype(o_ref.dtype)
 
 
+def _kernel_sepx_q(x_ref, r_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                   b2_ref, o_ref):
+    """W8A8 tile of the inter-dim-split MLP (shapes too big for the fused
+    int8 kernel, e.g. BERT@512: the f32 <T, 4H> intermediate alone is
+    9.4MB)."""
+    x = x_ref[0]
+    xq, xs = _quant_rows(x.astype(jnp.float32))
+    acc = jax.lax.dot_general(
+        xq, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    inter = acc.astype(jnp.float32) * xs * s1_ref[0] \
+        + b1_ref[0].astype(jnp.float32)
+    inter = _gelu_exact(inter)
+    iq, is_ = _quant_rows(inter)
+    acc2 = jax.lax.dot_general(
+        iq, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc2.astype(jnp.float32) * is_ * s2_ref[0] \
+        + b2_ref[0].astype(jnp.float32)
+    o_ref[0] = r_ref[0] + out.astype(o_ref.dtype)
+
+
+def _pallas_mlp_sepx_q(x, resid, w1, b1, w2, b2, *, interpret=False):
+    b, t, h = resid.shape
+    inter_dim = w1.shape[1]
+    w1_q, s1 = quant_cols(w1)
+    w2_q, s2 = quant_cols(w2)
+    act_spec = pl.BlockSpec((1, t, h), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    i_vec = pl.BlockSpec((1, inter_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kernel_sepx_q,
+        grid=(b,),
+        in_specs=[
+            act_spec, act_spec,
+            pl.BlockSpec((h, inter_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            i_vec, i_vec,
+            pl.BlockSpec((inter_dim, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=act_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, h), resid.dtype),
+        interpret=interpret,
+    )(x, resid, w1_q, s1, b1[None], w2_q, s2, b2[None])
+
+
 def _pallas_mlp_sepx(x, resid, w1, b1, w2, b2, *, interpret=False):
     b, t, h = resid.shape
     inter_dim = w1.shape[1]
@@ -274,11 +326,12 @@ def _pallas_mlp_sepx(x, resid, w1, b1, w2, b2, *, interpret=False):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_sepx_fn(interpret: bool):
+def _make_sepx_fn(interpret: bool, quant: str = "none"):
+    pallas = _pallas_mlp_sepx_q if quant == "int8" else _pallas_mlp_sepx
+
     @jax.custom_vjp
     def block(x, resid, w1, b1, w2, b2):
-        return _pallas_mlp_sepx(x, resid, w1, b1, w2, b2,
-                                interpret=interpret)
+        return pallas(x, resid, w1, b1, w2, b2, interpret=interpret)
 
     def fwd(*args):
         return block(*args), args
@@ -292,7 +345,7 @@ def _make_sepx_fn(interpret: bool):
 
 
 def _tiled_mlp(resid, w1_t, b1, w2_t, b2, ln_w, ln_b, ln_position, ln_eps,
-               n_tiles, interpret):
+               n_tiles, interpret, quant="none"):
     """Inter-dim split: MLP(x) = sum_k W2_k . gelu(W1_k . x + b1_k) + b2,
     chained through separate-input kernels so the (possibly LN'd) input stays
     fixed while the residual accumulates.  Weights arrive pre-transposed
@@ -301,7 +354,7 @@ def _tiled_mlp(resid, w1_t, b1, w2_t, b2, ln_w, ln_b, ln_position, ln_eps,
     inter = w1_t.shape[1]
     tile = inter // n_tiles
     out = resid
-    fn = _make_sepx_fn(interpret)
+    fn = _make_sepx_fn(interpret, quant)
     for k in range(n_tiles):
         sl = slice(k * tile, (k + 1) * tile)
         b2_k = b2 if k == n_tiles - 1 else jnp.zeros_like(b2)
@@ -311,12 +364,15 @@ def _tiled_mlp(resid, w1_t, b1, w2_t, b2, ln_w, ln_b, ln_position, ln_eps,
     return out
 
 
-def _fits_vmem(resid, w1) -> bool:
+def _fits_vmem(resid, w1, quant: str = "none") -> bool:
     t, h = resid.shape[-2], resid.shape[-1]
     inter = w1.shape[0]
     itemsize = jnp.dtype(resid.dtype).itemsize
-    weights = 2 * h * inter * itemsize
+    w_item = 1 if quant == "int8" else itemsize  # int8 weights halve VMEM
+    weights = 2 * h * inter * w_item
     acts = t * inter * (4 + itemsize) + 3 * t * h * itemsize
+    if quant == "int8":
+        acts += t * inter  # the re-quantized int8 intermediate
     return weights + acts < _VMEM_BUDGET_BYTES
 
 
@@ -349,14 +405,14 @@ def mlp_block(
     args = (resid, w1.T.astype(resid.dtype), b1, w2.T.astype(resid.dtype),
             b2, ln_w, ln_b)
     if use_pallas:
-        if _fits_vmem(resid, w1):
+        if _fits_vmem(resid, w1, quant):
             return _make_block_fn(ln_position, float(ln_eps), interpret,
                                   quant)(*args)
         for n_tiles in (2, 4, 8):
             if w1.shape[0] % n_tiles == 0 and _fits_vmem(
-                resid, w1[: w1.shape[0] // n_tiles]
+                resid, w1[: w1.shape[0] // n_tiles], quant
             ):
                 return _tiled_mlp(*args, ln_position, float(ln_eps),
-                                  n_tiles, interpret)
+                                  n_tiles, interpret, quant)
     return _xla_mlp_block(*args, ln_position=ln_position,
                           ln_eps=float(ln_eps))

@@ -82,3 +82,24 @@ def test_int8_gradients_flow_through_custom_vjp():
     rel = float(jnp.max(jnp.abs(g_q - g_ref))) / (
         float(jnp.max(jnp.abs(g_ref))) + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_int8_tiled_mlp_close_to_fp32():
+    """Shapes past the VMEM budget take the inter-dim-split int8 path
+    (_kernel_sepx_q) — exercised here by forcing n_tiles via a small budget."""
+    import autognothi_tpu.ops.mlp_block as mb
+
+    resid, w1, b1, w2, b2, ln = _mlp_args()
+    ref = mlp_block(resid, w1, b1, w2, b2, use_pallas=False,
+                    ln=ln, ln_position="epilogue")
+    old = mb._VMEM_BUDGET_BYTES
+    try:
+        # too small for the fused kernel, big enough for 2-way tiles
+        mb._VMEM_BUDGET_BYTES = (
+            2 * H * (I // 2) + T * (I // 2) * 6 + 3 * T * H * 4 + T * I + 1)
+        q = mlp_block(resid, w1, b1, w2, b2, use_pallas=True, interpret=True,
+                      ln=ln, ln_position="epilogue", quant="int8")
+    finally:
+        mb._VMEM_BUDGET_BYTES = old
+    rel = float(jnp.max(jnp.abs(ref - q))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 0.02, rel
