@@ -133,6 +133,7 @@ def _pallas_attention_enabled() -> bool:
 
 
 _INT8_FLAG = os.environ.get("AUTOGNOTHI_INT8", "0")
+_QUANT_OVERRIDE: list = []
 
 
 def quant_mode() -> str:
@@ -142,7 +143,28 @@ def quant_mode() -> str:
     this chip — playground/bench_int8.py).  Forward-only: backward (rarely
     taken through the kernels in serving) recomputes in bf16.  Off by
     default; faithfulness drift is measured in BASELINE.md before use."""
+    if _QUANT_OVERRIDE:
+        mode = _QUANT_OVERRIDE[-1]
+        return mode if mode != "int8" or pallas_mode() == "2" else "none"
     return "int8" if _INT8_FLAG == "1" and pallas_mode() == "2" else "none"
+
+
+class quant_override:
+    """Trace-time scope forcing the fused kernels' quant mode.  quant_mode()
+    is consulted while Python traces the model, so wrapping a sub-graph
+    (e.g. the frozen no-grad teacher sweep inside the explainer train step)
+    quantizes exactly that region — the differentiated explainer forward
+    outside the scope stays bf16, keeping its custom_vjp gradients exact."""
+
+    def __init__(self, mode: str):
+        self.mode = mode
+
+    def __enter__(self):
+        _QUANT_OVERRIDE.append(self.mode)
+        return self
+
+    def __exit__(self, *exc):
+        _QUANT_OVERRIDE.pop()
 
 
 def self_attention(

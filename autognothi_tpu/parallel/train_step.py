@@ -24,12 +24,14 @@ loop (/root/reference/scripts/train_explainer.py:148-206).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 import optax
 
+from ..models.common import quant_override
 from ..ops.shapley import loss_shapley, mask_shapley
 from ..recipes.types import ModelRecipe, Params, surrogate_coalition_values
 
@@ -40,16 +42,26 @@ def _ltt_kwargs(recipe: ModelRecipe, ltt_active):
     return {}
 
 
+def _teacher_quant() -> str:
+    """AUTOGNOTHI_INT8_TEACHER=1 quantizes the frozen no-grad teacher sweep
+    (the B*M masked surrogate forwards — the bulk of the step's FLOPs) with
+    the W8A8 kernels.  The differentiated explainer forward is always pinned
+    to bf16 so its custom_vjp gradients stay exact."""
+    return "int8" if os.environ.get("AUTOGNOTHI_INT8_TEACHER") == "1" \
+        else "none"
+
+
 def _make_teacher(
     recipe: ModelRecipe, m_config: Any, n_players: int
 ) -> Callable:
     def teacher(srg_params: Params, xs, masks_bmp):
         b = masks_bmp.shape[0]
         mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
-        v_s = surrogate_coalition_values(
-            recipe, m_config, srg_params, xs, masks_bmp
-        )
-        v_1, _ = recipe.fw_surrogate(m_config, srg_params, xs, mask_1)
+        with quant_override(_teacher_quant()):
+            v_s = surrogate_coalition_values(
+                recipe, m_config, srg_params, xs, masks_bmp
+            )
+            v_1, _ = recipe.fw_surrogate(m_config, srg_params, xs, mask_1)
         return v_s, v_1
 
     return teacher
@@ -75,11 +87,12 @@ def make_explainer_train_step(
                 weights):
         b = masks_bmp.shape[0]
         mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
-        phi, _ = recipe.fw_explainer(
-            m_config, params, xs, mask_1, v_1, v_0,
-            deterministic=False, rng=rng,
-            **_ltt_kwargs(recipe, ltt_active),
-        )
+        with quant_override("none"):  # differentiated fwd stays bf16
+            phi, _ = recipe.fw_explainer(
+                m_config, params, xs, mask_1, v_1, v_0,
+                deterministic=False, rng=rng,
+                **_ltt_kwargs(recipe, ltt_active),
+            )
         return loss_shapley(masks_bmp, v_0, v_s, v_1, phi, weights)
 
     @jax.jit
