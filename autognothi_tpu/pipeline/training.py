@@ -57,11 +57,15 @@ def cast_input(xs: jax.Array) -> jax.Array:
 
 def defer_loss_fetch() -> bool:
     """AUTOGNOTHI_DEFER_LOSS_FETCH=1 batches the per-step loss device->host
-    transfers into one fetch per epoch.  On the remote-TPU tunnel a
-    `float(loss)` every batch blocks the pipeline on a round trip; deferring
-    keeps the device queue full.  Off by default: the per-batch log lines
-    then appear live, matching the reference's cadence exactly (the lines
-    themselves are identical either way, only *when* they print changes)."""
+    transfers into one fetch per epoch — the right mode on a LOCAL TPU,
+    where async dispatch keeps the device queue full and each `float(loss)`
+    costs a blocking round trip.  Off by default: per-batch log lines
+    appear live, matching the reference's cadence exactly (the lines are
+    identical either way, only *when* they print changes).  NOTE measured
+    on the remote-TPU tunnel (playground/bench_train_step.py probes): a
+    long fully-async chain of dependent train steps degrades ~35x there
+    (3853 vs 113 ms/step) — on the tunnel the per-step fetch IS the fast
+    path, so leave this off under `axon`."""
     return os.environ.get("AUTOGNOTHI_DEFER_LOSS_FETCH") == "1"
 
 

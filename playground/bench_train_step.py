@@ -17,6 +17,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 BATCH = 8
 N_MASK_SAMPLES = 32
+WARMUP = 8  # chained warmup steps (see ramp note in the timing loop)
 ITERS = 5
 
 
@@ -63,16 +64,24 @@ def main() -> None:
         p, s = exp_params, opt_state
         umask = ones_mask(p)
         depth = jnp.asarray(cfg.num_hidden_layers, jnp.int32)
-        p, s, loss = step(p, s, srg_params, surrogate_null, xs,
-                          jax.random.PRNGKey(3), jnp.asarray(1e-4),
-                          umask, depth)
-        fence(loss)
+        # Warm with CHAINED steps (outputs fed back), fencing each one.
+        # Measured tunnel behavior (probe bisect, r2): per executable, the
+        # first chained loop runs ~4 s/step before stabilizing at
+        # ~120 ms/step — a one-time ramp that production epochs amortize
+        # over hundreds of steps.  Fencing per step also matches the
+        # production trainer (per-batch loss fetch) and avoids the tunnel's
+        # fully-async-chain degradation (3853 vs 113 ms/step measured).
+        for i in range(WARMUP):
+            p, s, loss = step(p, s, srg_params, surrogate_null, xs,
+                              jax.random.fold_in(jax.random.PRNGKey(3), i),
+                              jnp.asarray(1e-4), umask, depth)
+            fence(loss)
         t0 = time.perf_counter()
         for i in range(ITERS):
             p, s, loss = step(p, s, srg_params, surrogate_null, xs,
                               jax.random.fold_in(jax.random.PRNGKey(4), i),
                               jnp.asarray(1e-4), umask, depth)
-        fence(loss)
+            fence(loss)
         dt = (time.perf_counter() - t0) / ITERS
         coalitions_per_sec = BATCH * N_MASK_SAMPLES / dt
         results[label] = coalitions_per_sec

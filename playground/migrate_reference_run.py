@@ -61,6 +61,25 @@ def measure_ours(exp: pathlib.Path) -> dict:
     }
 
 
+def measure_ours_cv(exp: pathlib.Path) -> dict:
+    """CV-track variant: identical synthetic image set both sides
+    (reference_run.shared_cv_loader)."""
+    import reference_run as ref
+
+    from autognothi_tpu.pipeline.env import ExpEnv
+    from autognothi_tpu.pipeline.measure_accuracy import measure_accuracy
+    from autognothi_tpu.pipeline.measure_cls_acc import measure_cls_acc
+    from autognothi_tpu.pipeline.measure_faithfulness import measure_faithfulness
+
+    d_loader = ref.shared_cv_loader()
+    env = ExpEnv(exp)
+    return {
+        "faithfulness": measure_faithfulness(env, d_loader=d_loader).model_dump(),
+        "cls_acc": measure_cls_acc(env, d_loader=d_loader).model_dump(),
+        "accuracy": measure_accuracy(env, d_loader=d_loader).model_dump(),
+    }
+
+
 def load_reference_reports(ref_exp: pathlib.Path) -> dict:
     out = {}
     for name in ("faithfulness", "cls_acc", "accuracy"):

@@ -114,6 +114,25 @@ BASE_NET_PARAMS = {
 }
 
 
+MINI_VIT_NET_PARAMS = {
+    # mini ViT dims (mirrors tests/test_train_all_e2e.py's MINI_VIT_HPARAMS)
+    "attention_probs_dropout_prob": 0.0,
+    "explainer_attn_num_layers": 1,
+    "explainer_head_hidden_size": 16,
+    "explainer_normalize": True,
+    "hidden_dropout_prob": 0.0,
+    "hidden_size": 32,
+    "intermediate_size": 64,
+    "layer_norm_eps": 1e-12,
+    "num_attention_heads": 4,
+    "num_hidden_layers": 2,
+    "num_labels": 3,
+    "img_channels": 3,
+    "img_px_size": 16,
+    "img_patch_size": 8,
+}
+
+
 VIT_BASE_NET_PARAMS = {
     # the reference's shipped vit_base_imagenette_vanilla net params
     # (/root/reference/experiments/vit_base_imagenette_vanilla/.hparams.json)
@@ -134,7 +153,8 @@ VIT_BASE_NET_PARAMS = {
 }
 
 
-def hparams(net_params: dict, epochs: tuple, n_mask_samples: int = 4) -> dict:
+def hparams(net_params: dict, epochs: tuple, n_mask_samples: int = 4,
+            resolution: int = 8) -> dict:
     e_cls, e_srg, e_exp = epochs
     logger = {
         "wandb_enabled": False,
@@ -168,8 +188,10 @@ def hparams(net_params: dict, epochs: tuple, n_mask_samples: int = 4) -> dict:
         "logger_classifier": dict(logger),
         "logger_surrogate": dict(logger),
         "logger_explainer": dict(logger),
-        "eval_accuracy": {"dataset": None, "batch_size": 4, "resolution": 8},
-        "eval_faithfulness": {"dataset": None, "batch_size": 4, "resolution": 8},
+        "eval_accuracy": {"dataset": None, "batch_size": 4,
+                          "resolution": resolution},
+        "eval_faithfulness": {"dataset": None, "batch_size": 4,
+                              "resolution": resolution},
         "eval_cls_acc": {"dataset": None, "on_exp_epochs": None, "batch_size": 4},
         "eval_performance": {"dataset": None, "loops": 1},
         "eval_train_resources": {"dataset": None, "batch_size": 2, "max_samples": 4},
@@ -223,10 +245,12 @@ def seed_experiment(exp: pathlib.Path, net_params: dict, epochs: tuple) -> None:
     torch.save(model.state_dict(), exp / "classifier-epoch-0.ckpt")
 
 
-def seed_vit_experiment(exp: pathlib.Path, net_params: dict, epochs: tuple) -> None:
+def seed_vit_experiment(exp: pathlib.Path, net_params: dict, epochs: tuple,
+                        resolution: int = 8) -> None:
     """Materialize a ViT experiment dir at the post-stage-0 state.  The
-    config's dataset section is nlp_samples (never iterated at 0 epochs);
-    perf measurement supplies an image DatasetLoader explicitly."""
+    config's dataset section says nlp_samples; for CV runs the resolver is
+    patched to serve the shared synthetic image set instead
+    (install_cv_dataset)."""
     import torch
 
     from reference.models.vanilla_vit import (
@@ -236,12 +260,54 @@ def seed_vit_experiment(exp: pathlib.Path, net_params: dict, epochs: tuple) -> N
 
     exp.mkdir(parents=True, exist_ok=True)
     (exp / ".hparams.json").write_text(
-        json.dumps(hparams(dict(net_params), epochs), indent=2), encoding="utf-8"
+        json.dumps(hparams(dict(net_params), epochs, resolution=resolution),
+                   indent=2),
+        encoding="utf-8",
     )
     torch.manual_seed(0)
     cfg = VanillaViTConfig(**net_params)
     model = VanillaViTClassifier(cfg)
     torch.save(model.state_dict(), exp / "classifier-epoch-0.ckpt")
+
+
+CV_SAMPLES_SPEC = dict(train_size=8, test_size=4, img_px_size=16,
+                       num_classes=3, seed=7)
+
+
+def shared_cv_loader():
+    """The deterministic synthetic image set BOTH frameworks evaluate on
+    (ours: autognothi_tpu.data.loader.load_cv_samples, seeded)."""
+    from autognothi_tpu.data.loader import load_cv_samples
+
+    return load_cv_samples(**CV_SAMPLES_SPEC)
+
+
+def install_cv_dataset() -> None:
+    """Point the reference's dataset resolver at the shared synthetic CV
+    set: every `load_cfg_dataset(kind="nlp_samples")` call dispatches
+    through `reference.scripts.resources.load_nlp_samples`
+    (/root/reference/scripts/resources.py:99,122), so one rebinding covers
+    all trainers and reports."""
+    import torch
+
+    from reference.datasets.loader import DatasetLoader
+    from reference.scripts import resources
+
+    ours = shared_cv_loader()
+
+    def as_torch(raw_iter):
+        def loader(batch_size: int):
+            for xs, ys, xr, yr in raw_iter(batch_size):
+                tx = [torch.from_numpy(x) for x in xs]
+                yield tx, list(ys), [t.clone() for t in tx], list(yr)
+
+        return loader
+
+    ref_loader = DatasetLoader(
+        train_raw=as_torch(ours.train_raw),
+        test_raw=as_torch(ours.test_raw),
+    )
+    resources.load_nlp_samples = lambda: ref_loader
 
 
 def run_pipeline(exp: pathlib.Path, perf_reports: bool = True) -> dict:

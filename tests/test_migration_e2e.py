@@ -45,3 +45,32 @@ def test_reference_trained_ckpts_measure_identically(tmp_path: pathlib.Path):
     # the headline metric agrees tightly
     ins_auc = [r for r in rows if r[0] == "faithfulness.insertion.auc"]
     assert ins_auc and ins_auc[0][3] < 1e-5
+
+
+def test_reference_trained_vit_ckpts_measure_identically(tmp_path: pathlib.Path):
+    """Same cross-framework proof on the CV track: the reference trains a
+    mini vanilla-ViT on a shared synthetic image set (its dataset resolver
+    is pointed at the set both frameworks construct deterministically),
+    and our measurement suite reproduces its reports from the imported
+    checkpoints."""
+    import migrate_reference_run as mig
+    import reference_run as ref
+
+    ref.install_stubs()
+    ref.install_cv_dataset()
+    ref_exp = tmp_path / "ref_torch_vit"
+    ref.seed_vit_experiment(ref_exp, ref.MINI_VIT_NET_PARAMS, (0, 2, 2),
+                            resolution=3)
+    theirs = ref.run_pipeline(ref_exp, perf_reports=False)
+    assert {"accuracy", "cls_acc", "faithfulness"} <= set(theirs)
+
+    jax_exp = mig.clone_experiment(ref_exp, tmp_path / "ref_jax_vit")
+    ours = mig.measure_ours_cv(jax_exp)
+
+    rows = mig.diff_reports(theirs, ours)
+    assert len(rows) > 30
+    worst = max(rows, key=lambda r: r[3])
+    bad = [r for r in rows if r[3] > 5e-4]
+    assert not bad, f"cross-framework divergence, worst={worst}"
+    ins_auc = [r for r in rows if r[0] == "faithfulness.insertion.auc"]
+    assert ins_auc and ins_auc[0][3] < 1e-5
