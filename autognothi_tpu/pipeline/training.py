@@ -57,15 +57,14 @@ def cast_input(xs: jax.Array) -> jax.Array:
 
 def defer_loss_fetch() -> bool:
     """AUTOGNOTHI_DEFER_LOSS_FETCH=1 batches the per-step loss device->host
-    transfers into one fetch per epoch — the right mode on a LOCAL TPU,
-    where async dispatch keeps the device queue full and each `float(loss)`
-    costs a blocking round trip.  Off by default: per-batch log lines
-    appear live, matching the reference's cadence exactly (the lines are
-    identical either way, only *when* they print changes).  NOTE measured
-    on the remote-TPU tunnel (playground/bench_train_step.py probes): a
-    long fully-async chain of dependent train steps degrades ~35x there
-    (3853 vs 113 ms/step) — on the tunnel the per-step fetch IS the fast
-    path, so leave this off under `axon`."""
+    transfers into one fetch per epoch, keeping the device queue full
+    (async dispatch).  Off by default: per-batch log lines appear live,
+    matching the reference's cadence exactly (the lines are identical
+    either way, only *when* they print changes).  Measured on the tunnel
+    chip (train-step probe bisect, r2): once an executable is warm,
+    async-chained steps run 87 ms vs 122 ms with a per-step fetch (+28%);
+    note each executable's FIRST few chained steps run ~4 s/step before
+    stabilizing, independent of this flag."""
     return os.environ.get("AUTOGNOTHI_DEFER_LOSS_FETCH") == "1"
 
 

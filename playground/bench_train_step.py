@@ -66,11 +66,11 @@ def main() -> None:
         depth = jnp.asarray(cfg.num_hidden_layers, jnp.int32)
         # Warm with CHAINED steps (outputs fed back), fencing each one.
         # Measured tunnel behavior (probe bisect, r2): per executable, the
-        # first chained loop runs ~4 s/step before stabilizing at
-        # ~120 ms/step — a one-time ramp that production epochs amortize
-        # over hundreds of steps.  Fencing per step also matches the
-        # production trainer (per-batch loss fetch) and avoids the tunnel's
-        # fully-async-chain degradation (3853 vs 113 ms/step measured).
+        # first ~5-8 chained executions run ~4 s/step before stabilizing —
+        # a one-time ramp that production epochs amortize over hundreds of
+        # steps.  The timed loop fences per step, matching the production
+        # trainer's default per-batch loss fetch (deferred mode measures
+        # ~28% faster once warm: 87 vs 122 ms/step).
         for i in range(WARMUP):
             p, s, loss = step(p, s, srg_params, surrogate_null, xs,
                               jax.random.fold_in(jax.random.PRNGKey(3), i),
