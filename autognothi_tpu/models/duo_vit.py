@@ -19,6 +19,7 @@ from .vit import (
     vit_embeddings,
     vit_encoder,
     vit_explainer_head,
+    vit_patch_extract,
     vit_surrogate_fwd,
 )
 
@@ -113,16 +114,19 @@ def duo_vit_final_fwd(
     rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, Dict[str, jax.Array]]:
     obs: Dict[str, jax.Array] = {}
+    # pixel->patch rearrange shared by the two towers (see vit_patch_extract)
+    patches = (vit_patch_extract(cfg, pixels) if pixels.ndim == 4
+               else pixels)
     if cfg.explainer_normalize:
         grand, obs_s = vit_surrogate_fwd(
-            subdict(p, "surrogate."), cfg, pixels, attention_mask,
+            subdict(p, "surrogate."), cfg, patches, attention_mask,
             deterministic=deterministic, rng=rng,
         )
         obs["repr_srg"] = obs_s["repr_cls"]
     else:
         grand = jnp.zeros((pixels.shape[0], cfg.num_labels))
     logits, attr, obs_e = duo_vit_explainer_fwd(
-        subdict(p, "explainer."), cfg, pixels, attention_mask,
+        subdict(p, "explainer."), cfg, patches, attention_mask,
         grand, p["surrogate_null"],
         deterministic=deterministic, rng=rng,
     )
