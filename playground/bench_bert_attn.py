@@ -1,11 +1,21 @@
 """Decompose the BERT@512 fused attention block: where does the time go
 between the per-head d=64 score/PV dots and the f32 softmax, and what do
-int8 PV / bf16 softmax variants buy?
+layout/precision variants buy?
 
-BERT@512 is compute-bound in the quadratic attention (BASELINE.md r2:
-int8 on/off differs only 6% on cls fwd — the projection dots are NOT the
-bottleneck).  This bench times standalone Pallas kernels with pieces
-ablated, at the exact serving shape <B=8, T=512, H=768, 12 heads>.
+MEASURED CONCLUSION (r2, 1x v5e via tunnel) — negative result, recorded so
+it isn't re-attempted: at <B=8, T=512, H=768, 12 heads> the standalone
+kernel runs ~36 us/seq/layer-equivalent and NO ablation moves it beyond
+the tunnel's run-to-run noise (~10-14%): removing the score dots -7%,
+removing softmax -3.5%, removing PV ~0, bf16 softmax +4%, int8 PV +12%
+(quant passes cost more than the d=64 dot saves), a single full-width
+d=768 attention with identical FLOPs and zero slicing +2%, and the
+(12,T,64) head-major relayout does not compile (Mosaic: "unsupported
+shape cast" on <512x12x64> reshape).  The probe itself is ~40% DMA-bound
+(q,k,v,ctx per call); compute is spread thin across softmax/dots with no
+dominant term.  BERT@512 attention-core gains below ~15% are not
+measurable on this setup; the remaining credible lever is structural
+(e.g. fusing attention+MLP per layer to halve residual DMA), not
+score-path math.
 
 Run on TPU:  python playground/bench_bert_attn.py
 """
@@ -34,6 +44,34 @@ ITERS = 10
 def _heads_body(q, k, v, variant: str):
     """q,k,v <T,H> bf16 -> ctx <T,H>; per-head loop with `variant` ablation."""
     scale = 1.0 / math.sqrt(D)
+    if variant == "onehead":
+        # same total FLOPs as 12 heads of d=64, but ONE full-width d=768
+        # attention: no 64-lane slicing, no concat.  Math differs (it's a
+        # layout-cost probe, not a drop-in).
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        return jax.lax.dot_general(
+            probs, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(q.dtype)
+    if variant == "heads3d":
+        # one relayout per tensor (T,12,64)->(12,T,64); per-head access is
+        # then a free leading-dim index instead of a 64-lane column slice
+        q3 = jnp.swapaxes(q.reshape(T, NH, D), 0, 1)
+        k3 = jnp.swapaxes(k.reshape(T, NH, D), 0, 1)
+        v3 = jnp.swapaxes(v.reshape(T, NH, D), 0, 1)
+        parts = []
+        for h in range(NH):
+            s = jax.lax.dot_general(
+                q3[h], k3[h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            probs = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+            parts.append(jax.lax.dot_general(
+                probs, v3[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(q.dtype))
+        ctx3 = jnp.stack(parts, axis=0)  # <12, T, 64>
+        return jnp.swapaxes(ctx3, 0, 1).reshape(T, H)
     parts = []
     for h in range(NH):
         sl = slice(h * D, (h + 1) * D)
@@ -77,6 +115,10 @@ def _heads_body(q, k, v, variant: str):
     return jnp.concatenate(parts, axis=-1)
 
 
+CHAIN = 12  # applications chained inside ONE jit: tunnel dispatch overhead
+# (~2-3 ms/call) would otherwise swamp the ~0.1 ms/call of real work
+
+
 def make_kernel(variant: str):
     def kern(q_ref, k_ref, v_ref, o_ref):
         o_ref[0] = _heads_body(q_ref[0], k_ref[0], v_ref[0], variant)
@@ -84,12 +126,17 @@ def make_kernel(variant: str):
     spec = pl.BlockSpec((1, T, H), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
-    @jax.jit
-    def run(q, k, v):
+    def call(q, k, v):
         return pl.pallas_call(
             kern, grid=(B,), in_specs=[spec, spec, spec], out_specs=spec,
             out_shape=jax.ShapeDtypeStruct((B, T, H), jnp.bfloat16),
         )(q, k, v)
+
+    @jax.jit
+    def run(q, k, v):
+        for _ in range(CHAIN):
+            q = call(q, k, v)  # feed ctx back as q: dependent chain
+        return q
 
     return run
 
@@ -104,8 +151,7 @@ def main() -> None:
         return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
 
     base = None
-    for variant in ("full", "noscores", "nosoftmax", "nopv",
-                    "softmax_bf16", "pv_int8"):
+    for variant in ("full", "onehead", "heads3d"):
         try:
             run = make_kernel(variant)
             out = run(q, k, v)
@@ -114,11 +160,12 @@ def main() -> None:
             for _ in range(ITERS):
                 out = run(q, k, v)
             fence(out)
-            dt = (time.perf_counter() - t0) / ITERS
+            dt = (time.perf_counter() - t0) / ITERS / CHAIN
             if variant == "full":
                 base = dt
             rel = f"  ({dt/base*100:5.1f}% of full)" if base else ""
-            print(f"{variant:14s} {dt*1e3:8.2f} ms{rel}", flush=True)
+            print(f"{variant:14s} {dt*1e3:8.3f} ms/layer-eqv{rel}",
+                  flush=True)
         except Exception as e:  # pragma: no cover
             print(f"{variant:14s} FAILED: {type(e).__name__}: {e}",
                   flush=True)
