@@ -1,0 +1,152 @@
+"""Int8/kernel serving quality gate: faithfulness-AUC drift between the
+CPU fp32 XLA reference pipeline and the TPU fused-kernel path (bench
+configuration: AUTOGNOTHI_INT8=1).
+
+Protocol (the reference's own faithfulness mechanism, measure_faithfulness
+— /root/reference/scripts/measure_faithfulness.py:143-146):
+  1. train the 7-stage mini ViT experiment on CPU (fp32 XLA) and record
+     its faithfulness report — the numerical reference;
+  2. re-run ONLY the faithfulness measurement on the TPU with the fused
+     Pallas kernels in W8A8 int8 serving mode, same checkpoints;
+  3. diff every AUC cell; fail if any drifts beyond --atol (default 5e-3;
+     measured r2 drift <= ~2e-4).
+
+Usage:  python playground/quality_gate.py [--exp /tmp/quality_gate_exp]
+        (run from a machine with the axon/TPU platform available)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+MINI_VIT_HPARAMS = {
+    "seed": 42,
+    "dataset": {
+        "kind": "cv_samples",
+        "train_size": 8,
+        "test_size": 4,
+        "img_px_size": 16,
+        "num_classes": 3,
+        "seed": 7,
+    },
+    "net": {
+        "kind": "vanilla_vit",
+        "version": "beta.1.01",
+        "base_model": "random_init",
+        "params": {
+            "attention_probs_dropout_prob": 0.0,
+            "explainer_attn_num_layers": 1,
+            "explainer_head_hidden_size": 16,
+            "explainer_normalize": True,
+            "hidden_dropout_prob": 0.0,
+            "hidden_size": 32,
+            "intermediate_size": 64,
+            "layer_norm_eps": 1e-12,
+            "num_attention_heads": 4,
+            "num_hidden_layers": 2,
+            "num_labels": 3,
+            "img_channels": 3,
+            "img_px_size": 16,
+            "img_patch_size": 8,
+        },
+    },
+    "train_classifier": {
+        "epochs": 1, "ckpt_when": "_:%1==0", "lr": 1e-3, "batch_size": 4,
+    },
+    "train_surrogate": {
+        "epochs": 1, "ckpt_when": "_:%1==0", "lr": 1e-3, "batch_size": 4,
+    },
+    "train_explainer": {
+        "epochs": 2, "ckpt_when": "_:%1==0", "lr": 1e-3, "batch_size": 4,
+        "n_mask_samples": 2, "lambda_efficiency": 0.0, "lambda_norm": 0.0,
+    },
+    "eval_accuracy": {"dataset": None, "batch_size": 4, "resolution": 3},
+    "eval_faithfulness": {"dataset": None, "batch_size": 4, "resolution": 3},
+    "eval_cls_acc": {"dataset": None, "on_exp_epochs": "_:%1==0",
+                     "batch_size": 4},
+    "eval_performance": {"dataset": None, "loops": 1},
+    "eval_train_resources": {"dataset": None, "batch_size": 4,
+                             "max_samples": 4},
+    "eval_branches_cka": {"dataset": None, "batch_size": 4},
+}
+
+
+def sh(args, env_extra=None):
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    print("+", " ".join(args), {k: v for k, v in (env_extra or {}).items()},
+          flush=True)
+    subprocess.run(args, check=True, env=env, cwd=str(REPO))
+
+
+def auc_cells(report: dict, prefix=""):
+    """Flatten every numeric 'auc'-keyed cell (incl. nested per-class)."""
+    out = {}
+    for k, v in report.items():
+        path = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(auc_cells(v, path))
+        elif isinstance(v, (int, float)) and "auc" in k.lower():
+            out[path] = float(v)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp", default="/tmp/quality_gate_exp")
+    ap.add_argument("--atol", type=float, default=5e-3)
+    args = ap.parse_args()
+
+    exp = pathlib.Path(args.exp)
+    faith = exp / ".reports" / "faithfulness.json"
+    cpu_ref = exp / ".reports" / "faithfulness_cpu_fp32.json"
+
+    if not cpu_ref.exists():
+        if exp.exists():
+            shutil.rmtree(exp)
+        exp.mkdir(parents=True)
+        (exp / ".hparams.json").write_text(
+            json.dumps(MINI_VIT_HPARAMS, indent=1), encoding="utf-8"
+        )
+        # stage 1: CPU fp32 reference (trains + measures everything)
+        sh([sys.executable, "main.py", "run_all", str(exp), "--device",
+            "cpu"],
+           {"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+            "AUTOGNOTHI_INT8": "0"})
+        shutil.copy(faith, cpu_ref)
+
+    # stage 2: TPU fused kernels, int8 serving mode, same checkpoints
+    faith.unlink(missing_ok=True)
+    sh([sys.executable, "main.py", "measure_all", str(exp),
+        "--run-faithfulness", "--no-run-accuracy", "--no-run-cls-acc",
+        "--no-run-performance", "--no-run-train-resources",
+        "--no-run-branches-cka", "--no-run-dual-task-similarity"],
+       {"AUTOGNOTHI_INT8": "1"})
+
+    ref = auc_cells(json.loads(cpu_ref.read_text()))
+    tpu = auc_cells(json.loads(faith.read_text()))
+    assert ref and set(ref) == set(tpu), (sorted(ref), sorted(tpu))
+    worst_key = max(ref, key=lambda k: abs(ref[k] - tpu[k]))
+    worst = abs(ref[worst_key] - tpu[worst_key])
+    for k in sorted(ref):
+        d = abs(ref[k] - tpu[k])
+        flag = "  <-- DRIFT" if d > args.atol else ""
+        print(f"{k:45s} cpu_fp32={ref[k]:.6f} tpu_int8={tpu[k]:.6f} "
+              f"d={d:.2e}{flag}")
+    print(f"\n[quality_gate] {len(ref)} AUC cells, worst |d|={worst:.3e} "
+          f"at {worst_key} (atol {args.atol})")
+    if worst > args.atol:
+        raise SystemExit(1)
+    print("[quality_gate] PASS")
+
+
+if __name__ == "__main__":
+    main()
