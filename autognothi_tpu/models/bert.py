@@ -27,6 +27,7 @@ from .common import (
     Params,
     additive_mask_bias,
     dense,
+    dense_serving,
     dropout,
     gelu,
     init_embedding,
@@ -386,8 +387,11 @@ def bert_explainer_head(
             ident_ln1=(i == 0), deterministic=deterministic, rng=_rng(rng, 20 + i),
         )
     h = dropout(_rng(rng, 29), h, cfg.hidden_dropout_prob, deterministic)
-    h = gelu(dense(h, p["explainer_mlp.0.weight"], p["explainer_mlp.0.bias"]))
-    h = gelu(dense(h, p["explainer_mlp.2.weight"], p["explainer_mlp.2.bias"]))
+    # the two wide head denses ride the W8A8 path in int8 serving mode
+    h = gelu(dense_serving(h, p["explainer_mlp.0.weight"],
+                           p["explainer_mlp.0.bias"]))
+    h = gelu(dense_serving(h, p["explainer_mlp.2.weight"],
+                           p["explainer_mlp.2.bias"]))
     out = dense(h, p["explainer_mlp.4.weight"], p["explainer_mlp.4.bias"])
     if cfg.explainer_normalize:
         out = normalize_shapley_explanation(out, surrogate_grand, surrogate_null)

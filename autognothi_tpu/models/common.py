@@ -40,6 +40,7 @@ __all__ = [
     "add_prefix",
     "stack_layer_params",
     "cast_tree",
+    "dense_serving",
 ]
 
 
@@ -50,6 +51,35 @@ def dense(x: jax.Array, w: jax.Array, b: Optional[jax.Array]) -> jax.Array:
         x, w.astype(x.dtype), (((x.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def dense_serving(x: jax.Array, w: jax.Array, b: Optional[jax.Array]) -> jax.Array:
+    """`dense`, but rides the W8A8 int8 MXU path when the serving quant mode
+    is active (quant_mode()=="int8").  Used by the explainer MLP heads —
+    the one hot chunk of fw_final that runs outside the fused block kernels
+    (measured ~50 us/img of the 700 us ViT-B explanation at B=256).
+
+    Per-out-channel int8 weights + dynamic per-token int8 activations; the
+    int32 accumulator is dequantized and bias-added in f32, and XLA fuses
+    the dequant into the consumer (no int32 HBM materialization).  Never
+    differentiated: training/eval trace with quant off (see quant_override);
+    serving does not take gradients."""
+    if quant_mode() != "int8":
+        return dense(x, w, b)
+    x32 = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) + 1e-8
+    q = jnp.round(x32 * (127.0 / s)).astype(jnp.int8)
+    w32 = w.astype(jnp.float32)  # torch (out, in) layout
+    ws = jnp.max(jnp.abs(w32), axis=1, keepdims=True) / 127.0 + 1e-12
+    wq = jnp.round(w32 / ws).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        q, wq, (((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (s / 127.0) * ws.reshape(-1)
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)

@@ -36,6 +36,7 @@ from .common import (
     maybe_remat,
     Params,
     dense,
+    dense_serving,
     dropout,
     gelu,
     init_embedding,
@@ -394,8 +395,11 @@ def vit_explainer_head(
         )
     h = layer_norm(h, p["explainer_mlp.0.weight"], p["explainer_mlp.0.bias"],
                    1e-5)  # torch nn.LayerNorm default eps
-    h = gelu(dense(h, p["explainer_mlp.1.weight"], p["explainer_mlp.1.bias"]))
-    h = gelu(dense(h, p["explainer_mlp.3.weight"], p["explainer_mlp.3.bias"]))
+    # the two wide head denses ride the W8A8 path in int8 serving mode
+    h = gelu(dense_serving(h, p["explainer_mlp.1.weight"],
+                           p["explainer_mlp.1.bias"]))
+    h = gelu(dense_serving(h, p["explainer_mlp.3.weight"],
+                           p["explainer_mlp.3.bias"]))
     out = dense(h, p["explainer_mlp.5.weight"], p["explainer_mlp.5.bias"])
     if cfg.explainer_normalize:
         out = normalize_shapley_explanation(out, surrogate_grand, surrogate_null)

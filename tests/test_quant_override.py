@@ -56,6 +56,27 @@ def test_override_restored_on_exception(tpu_pallas, monkeypatch):
     assert quant_mode() == "none"
 
 
+def test_dense_serving_int8_close_to_fp32(tpu_pallas):
+    """dense_serving switches the explainer-head denses to W8A8 under the
+    serving quant mode; values must track the fp32 dense closely."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from autognothi_tpu.models.common import dense, dense_serving
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 5, 32).astype(np.float32)) * 0.5
+    w = jnp.asarray(rng.randn(48, 32).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.randn(48).astype(np.float32)) * 0.1
+
+    assert np.allclose(dense_serving(x, w, b), dense(x, w, b))  # off: alias
+    with quant_override("int8"):
+        q = dense_serving(x, w, b)
+    ref = dense(x, w, b)
+    rel = float(jnp.max(jnp.abs(q - ref))) / float(jnp.max(jnp.abs(ref)))
+    assert 0 < rel < 0.02, rel  # int8 path actually taken AND accurate
+
+
 def test_teacher_quant_env(monkeypatch):
     from autognothi_tpu.parallel import train_step as ts
 
