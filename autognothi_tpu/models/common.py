@@ -56,19 +56,7 @@ def dense(x: jax.Array, w: jax.Array, b: Optional[jax.Array]) -> jax.Array:
     return y.astype(x.dtype)
 
 
-def dense_serving(x: jax.Array, w: jax.Array, b: Optional[jax.Array]) -> jax.Array:
-    """`dense`, but rides the W8A8 int8 MXU path when the serving quant mode
-    is active (quant_mode()=="int8").  Used by the explainer MLP heads —
-    the one hot chunk of fw_final that runs outside the fused block kernels
-    (measured ~50 us/img of the 700 us ViT-B explanation at B=256).
-
-    Per-out-channel int8 weights + dynamic per-token int8 activations; the
-    int32 accumulator is dequantized and bias-added in f32, and XLA fuses
-    the dequant into the consumer (no int32 HBM materialization).  Never
-    differentiated: training/eval trace with quant off (see quant_override);
-    serving does not take gradients."""
-    if quant_mode() != "int8":
-        return dense(x, w, b)
+def _dense_int8_raw(x: jax.Array, w: jax.Array, b: Optional[jax.Array]) -> jax.Array:
     x32 = x.astype(jnp.float32)
     s = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) + 1e-8
     q = jnp.round(x32 * (127.0 / s)).astype(jnp.int8)
@@ -83,6 +71,44 @@ def dense_serving(x: jax.Array, w: jax.Array, b: Optional[jax.Array]) -> jax.Arr
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+@jax.custom_vjp
+def _dense_int8(x, w, b):
+    return _dense_int8_raw(x, w, b)
+
+
+def _dense_int8_fwd(x, w, b):
+    return _dense_int8(x, w, b), (x, w, b)
+
+
+def _dense_int8_bwd(res, g):
+    # same convention as the fused block kernels: forward runs quantized,
+    # backward differentiates the full-precision dense (round() would
+    # otherwise zero the gradients)
+    _, vjp = jax.vjp(dense, *res)
+    return vjp(g)
+
+
+_dense_int8.defvjp(_dense_int8_fwd, _dense_int8_bwd)
+
+
+def dense_serving(x: jax.Array, w: jax.Array, b: Optional[jax.Array]) -> jax.Array:
+    """`dense`, but rides the W8A8 int8 MXU path when the serving quant mode
+    is active (quant_mode()=="int8").  Used by the explainer MLP heads and
+    the ViT patch projection — the hot chunks of fw_final that run outside
+    the fused block kernels (the heads alone measured ~50 us/img of the
+    700 us ViT-B explanation at B=256).
+
+    Per-out-channel int8 weights + dynamic per-token int8 activations; the
+    int32 accumulator is dequantized and bias-added in f32, and XLA fuses
+    the dequant into the consumer (no int32 HBM materialization).  If
+    differentiated (training with AUTOGNOTHI_INT8=1), the custom_vjp
+    backward differentiates the full-precision dense, mirroring the fused
+    kernels' convention."""
+    if quant_mode() != "int8":
+        return dense(x, w, b)
+    return _dense_int8(x, w, b)
 
 
 def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float) -> jax.Array:

@@ -77,6 +77,31 @@ def test_dense_serving_int8_close_to_fp32(tpu_pallas):
     assert 0 < rel < 0.02, rel  # int8 path actually taken AND accurate
 
 
+def test_dense_serving_grads_are_full_precision(tpu_pallas):
+    """Differentiating through the int8 path must yield the fp32 dense's
+    gradients (custom_vjp), not round()'s zeros."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from autognothi_tpu.models.common import dense, dense_serving
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(4, 16).astype(np.float32)) * 0.5
+    w = jnp.asarray(rng.randn(24, 16).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.randn(24).astype(np.float32)) * 0.1
+
+    with quant_override("int8"):
+        gq = jax.grad(lambda x, w: jnp.sum(dense_serving(x, w, b) ** 2),
+                      argnums=(0, 1))(x, w)
+    gr = jax.grad(lambda x, w: jnp.sum(dense(x, w, b) ** 2),
+                  argnums=(0, 1))(x, w)
+    for q, r in zip(gq, gr):
+        assert float(jnp.max(jnp.abs(q))) > 0
+        rel = float(jnp.max(jnp.abs(q - r))) / float(jnp.max(jnp.abs(r)))
+        assert rel < 0.05, rel
+
+
 def test_teacher_quant_env(monkeypatch):
     from autognothi_tpu.parallel import train_step as ts
 
