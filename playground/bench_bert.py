@@ -8,13 +8,17 @@ Run on TPU: python playground/bench_bert.py
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
-BATCH = 8
+# serving configuration, matching bench.py (AUTOGNOTHI_INT8=0 opts out)
+os.environ.setdefault("AUTOGNOTHI_INT8", "1")
+
+BATCH = int(os.environ.get("AUTOGNOTHI_BENCH_BATCH", "8"))
 ITERS = 5
 
 
