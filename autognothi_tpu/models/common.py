@@ -57,17 +57,17 @@ def dense(x: jax.Array, w: jax.Array, b: Optional[jax.Array]) -> jax.Array:
 
 
 def _dense_int8_raw(x: jax.Array, w: jax.Array, b: Optional[jax.Array]) -> jax.Array:
-    x32 = x.astype(jnp.float32)
-    s = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) + 1e-8
-    q = jnp.round(x32 * (127.0 / s)).astype(jnp.int8)
-    w32 = w.astype(jnp.float32)  # torch (out, in) layout
-    ws = jnp.max(jnp.abs(w32), axis=1, keepdims=True) / 127.0 + 1e-12
-    wq = jnp.round(w32 / ws).astype(jnp.int8)
+    # the kernels' single quantization recipe (ops.mlp_block) applied to a
+    # torch-(out, in)-layout dense: per-out-channel weights, per-row acts
+    from ..ops.mlp_block import _quant_rows, quant_cols
+
+    q, s = _quant_rows(x.astype(jnp.float32))
+    wq, ws = quant_cols(w.T)  # (in, out) int8 + <1, out> scale
     acc = jax.lax.dot_general(
-        q, wq, (((x.ndim - 1,), (1,)), ((), ())),
+        q, wq, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    y = acc.astype(jnp.float32) * (s / 127.0) * ws.reshape(-1)
+    y = acc.astype(jnp.float32) * s * ws.reshape(-1)
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
@@ -95,10 +95,11 @@ _dense_int8.defvjp(_dense_int8_fwd, _dense_int8_bwd)
 
 def dense_serving(x: jax.Array, w: jax.Array, b: Optional[jax.Array]) -> jax.Array:
     """`dense`, but rides the W8A8 int8 MXU path when the serving quant mode
-    is active (quant_mode()=="int8").  Used by the explainer MLP heads and
-    the ViT patch projection — the hot chunks of fw_final that run outside
-    the fused block kernels (the heads alone measured ~50 us/img of the
-    700 us ViT-B explanation at B=256).
+    is active (quant_mode()=="int8").  Used by the explainer MLP heads —
+    the hot chunk of fw_final that runs outside the fused block kernels
+    (measured ~50 us/img of the 700 us ViT-B explanation at B=256).  NOT
+    used by the ViT patch projection: quantizing it measured -2.2% (see
+    vit_patch_embed).
 
     Per-out-channel int8 weights + dynamic per-token int8 activations; the
     int32 accumulator is dequantized and bias-added in f32, and XLA fuses
@@ -188,7 +189,6 @@ def _pallas_attention_enabled() -> bool:
     return pallas_mode() == "1"
 
 
-_INT8_FLAG = os.environ.get("AUTOGNOTHI_INT8", "0")
 _QUANT_OVERRIDE: list = []
 
 
@@ -198,11 +198,14 @@ def quant_mode() -> str:
     activations on the projections/MLP matmuls (int8 MXU is ~1.8x bf16 on
     this chip — playground/bench_int8.py).  Forward-only: backward (rarely
     taken through the kernels in serving) recomputes in bf16.  Off by
-    default; faithfulness drift is measured in BASELINE.md before use."""
+    default; faithfulness drift is measured in BASELINE.md before use.
+    The env var is read per call (like the sibling knobs), so setting it
+    after import works — but an already-traced jit will not retrace."""
     if _QUANT_OVERRIDE:
         mode = _QUANT_OVERRIDE[-1]
         return mode if mode != "int8" or pallas_mode() == "2" else "none"
-    return "int8" if _INT8_FLAG == "1" and pallas_mode() == "2" else "none"
+    return ("int8" if os.environ.get("AUTOGNOTHI_INT8", "0") == "1"
+            and pallas_mode() == "2" else "none")
 
 
 class quant_override:
@@ -210,7 +213,12 @@ class quant_override:
     is consulted while Python traces the model, so wrapping a sub-graph
     (e.g. the frozen no-grad teacher sweep inside the explainer train step)
     quantizes exactly that region — the differentiated explainer forward
-    outside the scope stays bf16, keeping its custom_vjp gradients exact."""
+    outside the scope stays bf16, keeping its custom_vjp gradients exact.
+
+    CAVEAT: the override only takes effect when the enclosing jit TRACES.
+    Calling an already-traced jitted function under a different override
+    does not retrace (jax caches by shapes/dtypes, not this flag) — build a
+    fresh jit per quant configuration, as make_explainer_train_step does."""
 
     def __init__(self, mode: str):
         self.mode = mode

@@ -60,10 +60,13 @@ def quant_cols(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _quant_rows(x32: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Dynamic symmetric per-row (per-token) int8 activation quantization.
-    One reciprocal per ROW, broadcast multiply per element (an elementwise
-    divide over <T, 4H> costs real VPU time in the kernel)."""
-    amax = jnp.max(jnp.abs(x32), axis=1, keepdims=True) + 1e-12
+    """Dynamic symmetric per-row (per-token) int8 activation quantization
+    over the LAST axis (any leading shape).  One reciprocal per row,
+    broadcast multiply per element (an elementwise divide over <T, 4H>
+    costs real VPU time in the kernel).  Shared by the fused kernels and
+    models.common.dense_serving — the single definition of the activation
+    quantization recipe."""
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) + 1e-12
     inv = 127.0 / amax
     return jnp.round(x32 * inv).astype(jnp.int8), amax * (1.0 / 127.0)
 

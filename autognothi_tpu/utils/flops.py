@@ -76,6 +76,13 @@ def jaxpr_flops(jaxpr: jcore.Jaxpr) -> float:
             inner = eqn.params.get("call_jaxpr") or eqn.params.get("fun_jaxpr")
             for sub in _sub_jaxprs(inner):
                 total += jaxpr_flops(sub)
+        elif name == "pallas_call":
+            # the kernel body jaxpr describes ONE grid step; multiply by the
+            # grid product (the fused block kernels run grid=(batch,))
+            grid = getattr(eqn.params.get("grid_mapping"), "grid", ()) or ()
+            steps = _prod([g for g in grid if isinstance(g, int)])
+            for sub in _sub_jaxprs(eqn.params.get("jaxpr")):
+                total += steps * jaxpr_flops(sub)
         else:
             # pjit / remat / while / pallas grids etc.: count each contained
             # jaxpr once (while trip counts are not static; unused in the

@@ -88,12 +88,13 @@ def load_reference_reports(ref_exp: pathlib.Path) -> dict:
     return out
 
 
-def diff_reports(theirs: dict, ours: dict, atol: float = 5e-4) -> list:
+def diff_reports(theirs: dict, ours: dict) -> list:
     """-> list of (path, ref_value, our_value, abs_diff) rows for the
     deterministic metrics.  Faithfulness curves are deterministic given the
     weights (argsort ranking + linspace stops, no RNG); cls_acc is argmax
     counting; masked-accuracy uses framework RNG for masks so only its
-    deterministic endpoints (0 masked / all masked) are compared."""
+    deterministic endpoints (0 masked / all masked) are compared.
+    Tolerance filtering is the CALLER's job (rows carry abs_diff)."""
     rows = []
 
     def rec(path, a, b):
@@ -119,7 +120,6 @@ def diff_reports(theirs: dict, ours: dict, atol: float = 5e-4) -> list:
                  abs(t_acc["accuracy"][0] - o_acc["accuracy"][0])))
     rows.append(("accuracy[last]", t_acc["accuracy"][-1], o_acc["accuracy"][-1],
                  abs(t_acc["accuracy"][-1] - o_acc["accuracy"][-1])))
-    _ = atol
     return rows
 
 

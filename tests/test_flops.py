@@ -105,3 +105,25 @@ def test_cond_counts_max_branch():
 def test_numpy_inputs_accepted():
     got = fn_flops(lambda x: x @ x, np.zeros((4, 4), np.float32))
     assert got == 2 * 4 * 4 * 4
+
+
+def test_pallas_call_counts_grid_steps():
+    """The fused block kernels trace ONE grid step; jaxpr_flops must scale
+    by the grid product or fn_flops under-reports by ~batch-size
+    (r2 review finding: measured exactly 1/B before the fix)."""
+    from autognothi_tpu.ops.mlp_block import mlp_block
+
+    b, t, h, inter = 4, 8, 32, 64
+    x = jnp.zeros((b, t, h))
+    w1, b1 = jnp.zeros((inter, h)), jnp.zeros((inter,))
+    w2, b2 = jnp.zeros((h, inter)), jnp.zeros((h,))
+
+    xla = fn_flops(
+        lambda r: mlp_block(r, w1, b1, w2, b2, use_pallas=False), x
+    )
+    pallas = fn_flops(
+        lambda r: mlp_block(r, w1, b1, w2, b2, use_pallas=True,
+                            interpret=True), x
+    )
+    assert xla == 2 * b * t * (2 * h * inter)  # two matmuls, whole batch
+    assert pallas == xla, (pallas, xla)

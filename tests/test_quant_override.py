@@ -30,7 +30,7 @@ def test_default_mode_off_on_cpu():
 
 
 def test_override_scoping(tpu_pallas, monkeypatch):
-    monkeypatch.setattr(common, "_INT8_FLAG", "1")
+    monkeypatch.setenv("AUTOGNOTHI_INT8", "1")
     assert quant_mode() == "int8"
     with quant_override("none"):  # explainer fwd pins bf16
         assert quant_mode() == "none"
@@ -41,7 +41,7 @@ def test_override_scoping(tpu_pallas, monkeypatch):
 
 
 def test_override_enables_without_global_flag(tpu_pallas, monkeypatch):
-    monkeypatch.setattr(common, "_INT8_FLAG", "0")
+    monkeypatch.setenv("AUTOGNOTHI_INT8", "0")
     assert quant_mode() == "none"
     with quant_override("int8"):
         assert quant_mode() == "int8"
@@ -49,7 +49,7 @@ def test_override_enables_without_global_flag(tpu_pallas, monkeypatch):
 
 
 def test_override_restored_on_exception(tpu_pallas, monkeypatch):
-    monkeypatch.setattr(common, "_INT8_FLAG", "0")
+    monkeypatch.setenv("AUTOGNOTHI_INT8", "0")
     with pytest.raises(RuntimeError):
         with quant_override("int8"):
             raise RuntimeError("boom")
