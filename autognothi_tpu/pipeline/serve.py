@@ -44,7 +44,12 @@ class ExplainService:
             np.asarray(self.recipe.gen_null(self.m_config, self.misc)),
             self.batch_size, axis=0,
         )
-        self._fw(self.final_params, jnp.asarray(null))
+        out = self._fw(self.final_params, jnp.asarray(null))
+        # fence with a device->host transfer: on the remote-TPU tunnel
+        # block_until_ready does NOT block, so without this the server
+        # reports ready while the first real request pays the multi-minute
+        # compile (measured: "warmup" returned in 3 s, first request 226 s)
+        np.asarray(jax.tree.leaves(out)[0])
 
     def explain(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         if "texts" in payload:
