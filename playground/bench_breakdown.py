@@ -71,11 +71,13 @@ def main() -> None:
 
     results = {}
 
-    # ---- end-to-end
+    # ---- end-to-end.  Return BOTH outputs: returning only attr lets XLA
+    # dead-code-eliminate the entire classifier tower (found the hard way —
+    # it made fw_final read as 2 towers, 500 us/img instead of 700)
     @jax.jit
     def full(p, x):
         probs, attr = fw_final(cfg, p, x)
-        return attr
+        return probs.astype(jnp.float32).sum() + attr.astype(jnp.float32).sum()
 
     results["fw_final"] = timed("fw_final (3 towers + head)", full, params, xs)
 
