@@ -95,3 +95,25 @@ def test_gradients_flow_through_custom_vjp():
     for a, b in zip(g_k, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-4, rtol=1e-4)
+
+
+def test_phase_group_is_numerically_identical(monkeypatch):
+    """AUTOGNOTHI_ATTN_PHASE_GROUP only reorders the head schedule; any
+    group size must produce bit-identical kernel output (measured a perf
+    no-op on the chip — the knob is kept for future hardware)."""
+    from autognothi_tpu.ops.attention_block import _make_block_fn
+
+    resid, row, weights, ln = _setup("mul", t=8, h=32)
+    wq, bq, wk, bk, wv, bv, wo, bo = weights
+    args = (resid, row, wq.T, bq, wk.T, bk, wv.T, bv, wo.T, bo, ln[0], ln[1])
+
+    outs = []
+    for group in ("1", "3", "4"):
+        monkeypatch.setenv("AUTOGNOTHI_ATTN_PHASE_GROUP", group)
+        _make_block_fn.cache_clear()  # force a fresh trace per group
+        outs.append(np.asarray(
+            _make_block_fn(4, "mul", "prologue", 1e-12, True)(*args)
+        ))
+    _make_block_fn.cache_clear()
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
