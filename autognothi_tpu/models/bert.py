@@ -194,14 +194,14 @@ def _bert_layer_body(
     rng: Optional[jax.Array],
 ) -> jax.Array:
     """Post-norm BERT layer (vanilla_bert.py:410-427)."""
-    from .common import pallas_mode
+    from .common import fused_dims_ok, pallas_mode
 
     dropout_off = deterministic or (
         cfg.attention_probs_dropout_prob == 0.0
         and cfg.hidden_dropout_prob == 0.0
     )
     fused = pallas_mode() == "2" and dropout_off and mask_bias is not None \
-        and h.ndim == 3
+        and h.ndim == 3 and fused_dims_ok(cfg.hidden_size)
     if fused:
         from .common import quant_mode
         from ..ops.attention_block import attention_block

@@ -189,6 +189,20 @@ def _pallas_attention_enabled() -> bool:
     return pallas_mode() == "1"
 
 
+def fused_dims_ok(hidden: int) -> bool:
+    """Width floor for the fused block kernels (trace-time).
+
+    AUTOGNOTHI_FUSED_MIN_HIDDEN (default 128) routes layers narrower than
+    the floor to the XLA path: hidden sizes below one 128-lane tile (e.g.
+    the LTT 96-dim side ladders riding inside the same scan body as the
+    768-dim trunk) pay Mosaic's lane padding per tiny dot and measured
+    SLOWER than letting XLA fuse them (playground/bench_ltt.py, r3).  Set
+    to 0 to force the kernels everywhere (the mini-config hardware quality
+    gates do, so kernels stay exercised at test dims)."""
+    floor = int(os.environ.get("AUTOGNOTHI_FUSED_MIN_HIDDEN", "128"))
+    return hidden >= floor
+
+
 _QUANT_OVERRIDE: list = []
 
 

@@ -236,14 +236,14 @@ def _vit_layer_body(
     rng: Optional[jax.Array],
 ) -> jax.Array:
     """Pre-norm ViT layer (vanilla_vit.py:364-377)."""
-    from .common import pallas_mode
+    from .common import fused_dims_ok, pallas_mode
 
     dropout_off = deterministic or (
         cfg.attention_probs_dropout_prob == 0.0
         and cfg.hidden_dropout_prob == 0.0
     )
     fused = pallas_mode() == "2" and dropout_off and mask is not None \
-        and h.ndim == 3
+        and h.ndim == 3 and fused_dims_ok(cfg.hidden_size)
     if fused:
         from .common import quant_mode
         from ..ops.attention_block import attention_block

@@ -321,11 +321,16 @@ def _make_block_fn(n_heads: int, mode: str, ln_position: str, ln_eps: float,
 _VMEM_BUDGET_BYTES = 15 * 1024 * 1024
 
 
-def _fits_vmem(resid) -> bool:
+def _fits_vmem(resid, quant: str = "none") -> bool:
     t, h = resid.shape[-2], resid.shape[-1]
     itemsize = jnp.dtype(resid.dtype).itemsize
-    weights = 4 * h * h * itemsize
+    w_item = 1 if quant == "int8" else itemsize  # int8 weights quarter VMEM
+    weights = 4 * h * h * w_item
     acts = 6 * t * h * itemsize + t * t * 4
+    if quant == "int8":
+        # the quant variant additionally holds the f32 x/ctx copies, their
+        # int8 quantized buffers and an int32 projection accumulator
+        acts += 2 * t * h * 4 + 2 * t * h + t * h * 4
     return weights + acts < _VMEM_BUDGET_BYTES
 
 
@@ -361,7 +366,7 @@ def attention_block(
             wq.T.astype(resid.dtype), bq, wk.T.astype(resid.dtype), bk,
             wv.T.astype(resid.dtype), bv, wo.T.astype(resid.dtype), bo,
             ln_w, ln_b)
-    if use_pallas and _fits_vmem(resid):
+    if use_pallas and _fits_vmem(resid, quant):
         return _make_block_fn(n_heads, mode, ln_position, float(ln_eps),
                               interpret, quant)(*args)
     return _xla_attention_block(*args, n_heads=n_heads, mode=mode,

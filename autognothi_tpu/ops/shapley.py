@@ -20,6 +20,8 @@ Numerical-parity notes (see /root/reference/models/shapley.py):
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -78,7 +80,7 @@ def loss_shapley(
     v_s: jnp.ndarray,  # <batch * n_mask_samples, n_classes> masked values
     v_1: jnp.ndarray,  # <batch, n_classes>  grand coalition (unused, kept for parity)
     phi: jnp.ndarray,  # <batch, n_classes, n_players> attributions
-    weights: jnp.ndarray = None,  # <batch> 0/1; None = all real
+    weights: Optional[jnp.ndarray] = None,  # <batch> 0/1; None = all real
 ) -> jnp.ndarray:
     """FastSHAP-style weighted regression: n_players * MSE(v0 + mask.phi, v_s).
 
@@ -118,7 +120,8 @@ def normalize_shapley_explanation(
 
 
 def loss_logits_kl_divergence(
-    ref: jnp.ndarray, current: jnp.ndarray, weights: jnp.ndarray = None
+    ref: jnp.ndarray, current: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Reference-oriented KL distillation loss (batchmean).
 

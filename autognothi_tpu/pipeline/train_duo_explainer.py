@@ -11,7 +11,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.common import quant_override
 from ..ops.shapley import loss_shapley, mask_shapley
+from ..parallel.train_step import _teacher_quant
 from ..recipes.types import surrogate_coalition_values
 from ..utils.seeding import iterative_key, set_iterative_seed
 from .env import ExpEnv
@@ -47,6 +49,16 @@ def train_duo_explainer(env: ExpEnv) -> None:
         env.log("[[[ explainer already trained ]]]")
         return
 
+    # multi-device: replicate params, shard the batch/coalition axis
+    # (same data-parallel placement as train_explainer.py)
+    from ..parallel.mesh import setup_data_parallel
+
+    mesh, place_params, place_batch = setup_data_parallel()
+    if mesh is not None:
+        env.log(f"[[[ data-parallel over {mesh.devices.size} devices ]]]")
+        params = place_params(params)
+        srg_params = place_params(srg_params)
+
     tx, opt_state = make_optimizer(params, recipe.trainable(m_config, "explainer"))
 
     nil_xs = jnp.asarray(recipe.gen_null(m_config, m_misc))
@@ -59,17 +71,20 @@ def train_duo_explainer(env: ExpEnv) -> None:
     def teacher(p, xs, masks_bmp):
         b = masks_bmp.shape[0]
         mask_1 = jnp.ones((b, n_players), jnp.int32)
-        v_s = surrogate_coalition_values(recipe, m_config, p, xs, masks_bmp)
-        v_1, _ = recipe.fw_surrogate(m_config, p, xs, mask_1)
+        with quant_override(_teacher_quant()):  # frozen no-grad sweep
+            v_s = surrogate_coalition_values(recipe, m_config, p, xs, masks_bmp)
+            v_1, _ = recipe.fw_surrogate(m_config, p, xs, mask_1)
         return v_s, v_1
 
     def joint_loss(p, xs, zs, masks_bmp, v_0, v_s, v_1, rng, weights):
         b = masks_bmp.shape[0]
         mask_1 = jnp.ones((b, n_players), jnp.int32)
-        phi, base_ys = recipe.fw_explainer(
-            m_config, p, xs, mask_1, v_1, v_0,
-            deterministic=rng is None, rng=rng,
-        )
+        with quant_override("none"):  # differentiated fwd stays bf16 so the
+            # custom_vjp gradients match the forward math (train_step.py)
+            phi, base_ys = recipe.fw_explainer(
+                m_config, p, xs, mask_1, v_1, v_0,
+                deterministic=rng is None, rng=rng,
+            )
         loss_cls = cross_entropy_on_probs(base_ys, zs, weights)
         loss_shap = loss_shapley(masks_bmp, v_0, v_s, v_1, phi, weights)
         return loss_cls + loss_shap, (loss_cls, loss_shap, base_ys)
@@ -117,13 +132,14 @@ def train_duo_explainer(env: ExpEnv) -> None:
             zs_np = np.asarray(zs)
             xs, zs_p, weights = pad_batch(
                 xs, zs, config.train_explainer.batch_size)
-            xs, zs_j = cast_input(jnp.asarray(xs)), jnp.asarray(zs_p)
-            w = jnp.asarray(weights)
+            xs = place_batch(cast_input(jnp.asarray(xs)))
+            zs_j = place_batch(jnp.asarray(zs_p))
+            w = place_batch(jnp.asarray(weights))
             padded = xs.shape[0]
             mask_key = jax.random.fold_in(rng, 2 * batch_idx)
             step_rng = jax.random.fold_in(rng, 2 * batch_idx + 1)
             masks = mask_shapley(mask_key, padded * n_mask_samples, n_players)
-            masks = masks.reshape(padded, n_mask_samples, n_players)
+            masks = place_batch(masks.reshape(padded, n_mask_samples, n_players))
             v_s, v_1 = teacher(srg_params, xs, masks)
             if train:
                 params, opt_state, loss, aux = step(

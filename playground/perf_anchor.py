@@ -33,6 +33,21 @@ from migrate_reference_run import clone_experiment  # noqa: E402
 
 N_IMAGES = 4
 
+# track -> (net params, reference net kind).  The ltt/froyo tracks anchor
+# the flagship architectures bench.py now headlines (VERDICT r2 items 1-2):
+# ltt computes (logits, phi) in ONE backbone traversal + 96-dim ladders.
+TRACKS = {
+    "bert": (ref.BASE_NET_PARAMS, "vanilla_bert"),
+    "vit": (ref.VIT_BASE_NET_PARAMS, "vanilla_vit"),
+    "ltt_vit": (ref.LTT_VIT_NET_PARAMS, "ltt_vit"),
+    "ltt_bert": (ref.LTT_BERT_NET_PARAMS, "ltt_bert"),
+    "froyo_bert": (ref.FROYO_BERT_NET_PARAMS, "froyo_bert"),
+}
+
+
+def _is_vit(track: str) -> bool:
+    return "vit" in track
+
 
 def _images() -> list:
     rng = np.random.RandomState(0)
@@ -80,14 +95,15 @@ def run_reference(track: str, exp: pathlib.Path) -> dict:
     if not torch.cuda.is_available():
         torch.cuda.synchronize = lambda *a, **k: None
     if not (exp / ".hparams.json").exists():
-        if track == "bert":
-            ref.seed_experiment(exp, ref.BASE_NET_PARAMS, (0, 0, 0))
+        params, kind = TRACKS[track]
+        if _is_vit(track):
+            ref.seed_vit_experiment(exp, params, (0, 0, 0), kind=kind)
         else:
-            ref.seed_vit_experiment(exp, ref.VIT_BASE_NET_PARAMS, (0, 0, 0))
+            ref.seed_experiment(exp, params, (0, 0, 0), kind=kind)
     set_iterative_seed(42, "scripts.shell.main")
     env = ExpEnv(exp, lambda c: None)
     train_all(env, device)  # conv chain only: 0 train epochs everywhere
-    d_loader = None if track == "bert" else _torch_image_loader()
+    d_loader = _torch_image_loader() if _is_vit(track) else None
     report = measure_performance(env, device, d_loader=d_loader)
     (exp / ".reports").mkdir(exist_ok=True)
     (exp / ".reports" / "performance.json").write_text(
@@ -102,7 +118,7 @@ def run_ours(track: str, ref_exp: pathlib.Path, exp: pathlib.Path) -> dict:
 
     clone_experiment(ref_exp, exp)
     env = ExpEnv(exp)
-    d_loader = None if track == "bert" else _jax_image_loader()
+    d_loader = _jax_image_loader() if _is_vit(track) else None
     report = measure_performance(env, d_loader=d_loader)
     (exp / ".reports").mkdir(exist_ok=True)
     (exp / ".reports" / "performance.json").write_text(
@@ -130,7 +146,7 @@ def summarize(track: str, theirs: dict, ours: dict) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--track", choices=["bert", "vit", "both"], default="both")
+    ap.add_argument("--track", choices=[*TRACKS, "both"], default="both")
     ap.add_argument("--workdir", default="/tmp/perf_anchor")
     args = ap.parse_args()
 

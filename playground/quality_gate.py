@@ -79,6 +79,21 @@ MINI_VIT_HPARAMS = {
 }
 
 
+def ltt_hparams() -> dict:
+    """MINI_VIT_HPARAMS with the net swapped to ltt_vit (mini ladder dims,
+    mirroring tests/test_ltt_e2e.py) — gates the flagship bench
+    architecture's int8/kernel path the same way as vanilla."""
+    hp = json.loads(json.dumps(MINI_VIT_HPARAMS))
+    hp["net"]["kind"] = "ltt_vit"
+    p = hp["net"]["params"]
+    p.pop("explainer_attn_num_layers")
+    p["explainer_s_attn_num_layers"] = 1
+    p["explainer_s_head_hidden_size"] = p.pop("explainer_head_hidden_size")
+    p["s_attn_hidden_size"] = 16
+    p["s_attn_intermediate_size"] = 32
+    return hp
+
+
 def sh(args, env_extra=None):
     env = dict(os.environ)
     env.update(env_extra or {})
@@ -101,11 +116,13 @@ def auc_cells(report: dict, prefix=""):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--exp", default="/tmp/quality_gate_exp")
+    ap.add_argument("--exp", default=None)
+    ap.add_argument("--net", choices=["vanilla_vit", "ltt_vit"],
+                    default="vanilla_vit")
     ap.add_argument("--atol", type=float, default=5e-3)
     args = ap.parse_args()
 
-    exp = pathlib.Path(args.exp)
+    exp = pathlib.Path(args.exp or f"/tmp/quality_gate_{args.net}")
     faith = exp / ".reports" / "faithfulness.json"
     cpu_ref = exp / ".reports" / "faithfulness_cpu_fp32.json"
 
@@ -113,8 +130,9 @@ def main() -> None:
         if exp.exists():
             shutil.rmtree(exp)
         exp.mkdir(parents=True)
+        hp = MINI_VIT_HPARAMS if args.net == "vanilla_vit" else ltt_hparams()
         (exp / ".hparams.json").write_text(
-            json.dumps(MINI_VIT_HPARAMS, indent=1), encoding="utf-8"
+            json.dumps(hp, indent=1), encoding="utf-8"
         )
         # stage 1: CPU fp32 reference (trains + measures everything)
         sh([sys.executable, "main.py", "run_all", str(exp), "--device",
@@ -125,11 +143,14 @@ def main() -> None:
 
     # stage 2: TPU fused kernels, int8 serving mode, same checkpoints
     faith.unlink(missing_ok=True)
+    # AUTOGNOTHI_FUSED_MIN_HIDDEN=0: mini dims are far below the production
+    # width floor (models.common.fused_dims_ok) — force the fused kernels so
+    # the gate actually exercises the int8 path it certifies
     sh([sys.executable, "main.py", "measure_all", str(exp),
         "--run-faithfulness", "--no-run-accuracy", "--no-run-cls-acc",
         "--no-run-performance", "--no-run-train-resources",
         "--no-run-branches-cka", "--no-run-dual-task-similarity"],
-       {"AUTOGNOTHI_INT8": "1"})
+       {"AUTOGNOTHI_INT8": "1", "AUTOGNOTHI_FUSED_MIN_HIDDEN": "0"})
 
     ref = auc_cells(json.loads(cpu_ref.read_text()))
     tpu = auc_cells(json.loads(faith.read_text()))

@@ -153,8 +153,59 @@ VIT_BASE_NET_PARAMS = {
 }
 
 
+LTT_VIT_NET_PARAMS = {
+    # flagship LTT ViT: ViT-Base backbone + the reference's shipped LTT
+    # ladder dims (experiments/bert_base_tayp_ltt: s_attn 96/384, 1
+    # s_explainer_attn layer, 3072 head) — the bench.py headline config
+    "attention_probs_dropout_prob": 0.0,
+    "explainer_s_attn_num_layers": 1,
+    "explainer_s_head_hidden_size": 3072,
+    "explainer_normalize": True,
+    "hidden_dropout_prob": 0.0,
+    "hidden_size": 768,
+    "intermediate_size": 3072,
+    "layer_norm_eps": 1e-12,
+    "num_attention_heads": 12,
+    "num_hidden_layers": 12,
+    "num_labels": 10,
+    "s_attn_hidden_size": 96,
+    "s_attn_intermediate_size": 384,
+    "img_channels": 3,
+    "img_px_size": 224,
+    "img_patch_size": 16,
+}
+
+LTT_BERT_NET_PARAMS = {
+    # the reference's shipped bert_base_tayp_ltt net params (dropouts zeroed
+    # for deterministic cross-framework comparison, like BASE_NET_PARAMS)
+    "attention_probs_dropout_prob": 0.0,
+    "explainer_s_attn_num_layers": 1,
+    "explainer_s_head_hidden_size": 3072,
+    "explainer_normalize": True,
+    "hidden_dropout_prob": 0.0,
+    "hidden_size": 768,
+    "intermediate_size": 3072,
+    "layer_norm_eps": 1e-12,
+    "max_position_embeddings": 512,
+    "num_attention_heads": 12,
+    "num_hidden_layers": 12,
+    "num_labels": 2,
+    "pad_token_id": 0,
+    "s_attn_hidden_size": 96,
+    "s_attn_intermediate_size": 384,
+    "type_vocab_size": 2,
+}
+
+# froyo shares the vanilla field set; only the net kind differs
+FROYO_BERT_NET_PARAMS = dict(BASE_NET_PARAMS)
+
+
+def _default_kind(net_params: dict) -> str:
+    return "vanilla_vit" if "img_px_size" in net_params else "vanilla_bert"
+
+
 def hparams(net_params: dict, epochs: tuple, n_mask_samples: int = 4,
-            resolution: int = 8) -> dict:
+            resolution: int = 8, kind: str = None) -> dict:
     e_cls, e_srg, e_exp = epochs
     logger = {
         "wandb_enabled": False,
@@ -166,7 +217,7 @@ def hparams(net_params: dict, epochs: tuple, n_mask_samples: int = 4,
         "seed": 3407,
         "dataset": {"kind": "nlp_samples"},
         "net": {
-            "kind": "vanilla_vit" if "img_px_size" in net_params else "vanilla_bert",
+            "kind": kind or _default_kind(net_params),
             "version": "beta.1.01",
             "base_model": (
                 "ft_vit_base_imagenette" if "img_px_size" in net_params
@@ -223,50 +274,85 @@ def build_shared_tokenizer(exp: pathlib.Path, corpus_texts) -> int:
     return len(vocab)
 
 
-def seed_experiment(exp: pathlib.Path, net_params: dict, epochs: tuple) -> None:
-    """Materialize the experiment dir at the post-stage-0 state (BERT)."""
-    import torch
+def _bert_classifier_cls(kind: str):
+    """The reference's classifier-stage (model, config) classes per net
+    kind (what `classifier-epoch-0.ckpt` must be a state dict of)."""
+    if kind == "ltt_bert":
+        from reference.models.ltt_bert import LttBertConfig, LttBertSurrogate
 
+        return LttBertSurrogate, LttBertConfig
+    if kind == "froyo_bert":
+        from reference.models.froyo_bert import (
+            FroyoBertClassifier,
+            FroyoBertConfig,
+        )
+
+        return FroyoBertClassifier, FroyoBertConfig
     from reference.models.vanilla_bert import (
         VanillaBertClassifier,
         VanillaBertConfig,
     )
 
+    return VanillaBertClassifier, VanillaBertConfig
+
+
+def _vit_classifier_cls(kind: str):
+    if kind == "ltt_vit":
+        from reference.models.ltt_vit import LttViTConfig, LttViTSurrogate
+
+        return LttViTSurrogate, LttViTConfig
+    if kind == "froyo_vit":
+        from reference.models.froyo_vit import (
+            FroyoViTClassifier,
+            FroyoViTConfig,
+        )
+
+        return FroyoViTClassifier, FroyoViTConfig
+    from reference.models.vanilla_vit import (
+        VanillaViTClassifier,
+        VanillaViTConfig,
+    )
+
+    return VanillaViTClassifier, VanillaViTConfig
+
+
+def seed_experiment(exp: pathlib.Path, net_params: dict, epochs: tuple,
+                    kind: str = "vanilla_bert") -> None:
+    """Materialize the experiment dir at the post-stage-0 state (BERT)."""
+    import torch
+
+    model_cls, cfg_cls = _bert_classifier_cls(kind)
     exp.mkdir(parents=True, exist_ok=True)
     corpus = reference_corpus()
     vocab_size = build_shared_tokenizer(exp, [x["inputs"] for x in corpus])
     params = dict(net_params, vocab_size=vocab_size)
     (exp / ".hparams.json").write_text(
-        json.dumps(hparams(params, epochs), indent=2), encoding="utf-8"
+        json.dumps(hparams(params, epochs, kind=kind), indent=2),
+        encoding="utf-8",
     )
     torch.manual_seed(0)
-    cfg = VanillaBertConfig(**params)
-    model = VanillaBertClassifier(cfg)
+    model = model_cls(cfg_cls(**params))
     torch.save(model.state_dict(), exp / "classifier-epoch-0.ckpt")
 
 
 def seed_vit_experiment(exp: pathlib.Path, net_params: dict, epochs: tuple,
-                        resolution: int = 8) -> None:
+                        resolution: int = 8,
+                        kind: str = "vanilla_vit") -> None:
     """Materialize a ViT experiment dir at the post-stage-0 state.  The
     config's dataset section says nlp_samples; for CV runs the resolver is
     patched to serve the shared synthetic image set instead
     (install_cv_dataset)."""
     import torch
 
-    from reference.models.vanilla_vit import (
-        VanillaViTClassifier,
-        VanillaViTConfig,
-    )
-
+    model_cls, cfg_cls = _vit_classifier_cls(kind)
     exp.mkdir(parents=True, exist_ok=True)
     (exp / ".hparams.json").write_text(
-        json.dumps(hparams(dict(net_params), epochs, resolution=resolution),
-                   indent=2),
+        json.dumps(hparams(dict(net_params), epochs, resolution=resolution,
+                           kind=kind), indent=2),
         encoding="utf-8",
     )
     torch.manual_seed(0)
-    cfg = VanillaViTConfig(**net_params)
-    model = VanillaViTClassifier(cfg)
+    model = model_cls(cfg_cls(**net_params))
     torch.save(model.state_dict(), exp / "classifier-epoch-0.ckpt")
 
 
