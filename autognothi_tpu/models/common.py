@@ -161,11 +161,8 @@ def additive_mask_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
     return bias[:, None, None, :]
 
 
-_PALLAS_FLAG = os.environ.get("AUTOGNOTHI_PALLAS", "auto")
-
-
 def pallas_mode() -> str:
-    """Pallas dispatch mode (AUTOGNOTHI_PALLAS):
+    """Pallas dispatch mode (AUTOGNOTHI_PALLAS, read per call at trace time):
     "auto" (default): the fused attention-block kernel on TPU platforms,
         pure XLA elsewhere;
     "0" pure XLA — the numerical reference;
@@ -173,16 +170,31 @@ def pallas_mode() -> str:
         XLA at ViT-B shapes — kept for comparison);
     "2" fused attention-block kernel (ops/attention_block.py: QKV + masked
         attention + output projection + residual in one kernel; measured
-        889.3 vs XLA 795.7 expl/s on ViT-B/224 fw_final, 1x v5e)."""
-    if _PALLAS_FLAG == "0":
+        889.3 vs XLA 795.7 expl/s on ViT-B/224 fw_final, 1x v5e).
+
+    Off-TPU, an explicit "1"/"2" still engages when
+    AUTOGNOTHI_PALLAS_INTERPRET=1 (the ops run their kernels in Pallas
+    interpret mode) — this is how CI exercises the kernel dispatch path and
+    the kernel x GSPMD composition on the virtual CPU mesh."""
+    flag = os.environ.get("AUTOGNOTHI_PALLAS", "auto")
+    if flag == "0":
         return "0"
     from ..ops.flash_attention import pallas_available
 
     if not pallas_available():
+        if flag in ("1", "2") and pallas_interpret():
+            return flag
         return "0"
-    if _PALLAS_FLAG in ("1", "2"):
-        return _PALLAS_FLAG
+    if flag in ("1", "2"):
+        return flag
     return "2"  # auto
+
+
+def pallas_interpret() -> bool:
+    """AUTOGNOTHI_PALLAS_INTERPRET=1 makes the fused-block ops default to
+    Pallas interpret mode (runs anywhere, numerically identical modulo the
+    in-kernel erf approximation) — CI coverage for the kernel path."""
+    return os.environ.get("AUTOGNOTHI_PALLAS_INTERPRET") == "1"
 
 
 def _pallas_attention_enabled() -> bool:
@@ -192,14 +204,14 @@ def _pallas_attention_enabled() -> bool:
 def fused_dims_ok(hidden: int) -> bool:
     """Width floor for the fused block kernels (trace-time).
 
-    AUTOGNOTHI_FUSED_MIN_HIDDEN (default 128) routes layers narrower than
-    the floor to the XLA path: hidden sizes below one 128-lane tile (e.g.
-    the LTT 96-dim side ladders riding inside the same scan body as the
-    768-dim trunk) pay Mosaic's lane padding per tiny dot and measured
-    SLOWER than letting XLA fuse them (playground/bench_ltt.py, r3).  Set
-    to 0 to force the kernels everywhere (the mini-config hardware quality
-    gates do, so kernels stay exercised at test dims)."""
-    floor = int(os.environ.get("AUTOGNOTHI_FUSED_MIN_HIDDEN", "128"))
+    AUTOGNOTHI_FUSED_MIN_HIDDEN (default 0: kernels at every width).
+    MEASURED (r3, LTT ViT-B fw_final @B256, 1x v5e): routing the 96-dim
+    side ladders to XLA (floor 128) yields 1274 expl/s vs 2197 with the
+    fused kernels — XLA materializes the ladders' <B, 12, T, T> scores to
+    HBM on this bandwidth-bound chip, which costs far more than the
+    kernels' sub-128-lane padding waste.  The floor stays as an escape
+    hatch for shapes where Mosaic mis-handles narrow layers."""
+    floor = int(os.environ.get("AUTOGNOTHI_FUSED_MIN_HIDDEN", "0"))
     return hidden >= floor
 
 

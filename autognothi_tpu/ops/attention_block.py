@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -321,6 +322,13 @@ def _make_block_fn(n_heads: int, mode: str, ln_position: str, ln_eps: float,
 _VMEM_BUDGET_BYTES = 15 * 1024 * 1024
 
 
+def interpret_default() -> bool:
+    """AUTOGNOTHI_PALLAS_INTERPRET=1: run the kernels through the Pallas
+    interpreter (works on any backend) — CI coverage of the kernel dispatch
+    path and kernel x GSPMD composition on the virtual CPU mesh."""
+    return os.environ.get("AUTOGNOTHI_PALLAS_INTERPRET") == "1"
+
+
 def _fits_vmem(resid, quant: str = "none") -> bool:
     t, h = resid.shape[-2], resid.shape[-1]
     itemsize = jnp.dtype(resid.dtype).itemsize
@@ -355,6 +363,7 @@ def attention_block(
     Weights in torch (out, in) layout are transposed at trace time.
     quant="int8": W8A8 projections in the fused kernel (serving path)."""
     wq, bq, wk, bk, wv, bv, wo, bo = weights
+    interpret = interpret or interpret_default()
     if ln is None:
         ln_w = jnp.ones((resid.shape[-1],), resid.dtype)
         ln_b = jnp.zeros((resid.shape[-1],), resid.dtype)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention_block import _ln32
+from .attention_block import _ln32, interpret_default
 
 # VMEM cap for weights+activations (v5e has ~16MB/core).  ViT-B computes to
 # ~14MB and compiles; ViT-L (16.8MB weights alone) must fall back.
@@ -398,6 +398,7 @@ def mlp_block(
     (valid because GELU is elementwise per intermediate unit); pathological
     shapes fall back to XLA.  quant="int8" switches the fused kernel to the
     W8A8 serving path (forward only; the custom_vjp backward stays bf16)."""
+    interpret = interpret or interpret_default()
     if ln is None:
         ln_w = jnp.ones((resid.shape[-1],), resid.dtype)
         ln_b = jnp.zeros((resid.shape[-1],), resid.dtype)

@@ -30,11 +30,26 @@ from .resources import get_recipe, load_epoch_model
 class ExplainService:
     def __init__(self, env: ExpEnv, batch_size: int = 8):
         self.env = env
-        self.batch_size = batch_size
         self.recipe, self.m_config = get_recipe(env.config)
         _, self.final_params = load_epoch_model(env, self.recipe, "final")
         self.misc = self.recipe.load_misc(env.model_path, self.m_config)
         self.gen_input = self.recipe.gen_input(self.m_config, self.misc)
+
+        # multi-device: replicate params, shard the request batch along
+        # "data" (the same placement the trainers and eval reports use).
+        # The compiled batch is rounded up to a mesh multiple so every slab
+        # shards evenly — requests are padded to it anyway.
+        from ..parallel.mesh import setup_data_parallel
+
+        mesh, place_params, place_batch = setup_data_parallel()
+        if mesh is not None:
+            n = mesh.devices.size
+            batch_size = ((batch_size + n - 1) // n) * n
+            env.log(f"[[[ serving sharded over {n} devices "
+                    f"(batch {batch_size}) ]]]")
+            self.final_params = place_params(self.final_params)
+        self.batch_size = batch_size
+        self._place_batch = place_batch
         self._fw = jax.jit(
             lambda p, xs: self.recipe.fw_final(self.m_config, p, xs)
         )
@@ -44,7 +59,7 @@ class ExplainService:
             np.asarray(self.recipe.gen_null(self.m_config, self.misc)),
             self.batch_size, axis=0,
         )
-        out = self._fw(self.final_params, jnp.asarray(null))
+        out = self._fw(self.final_params, self._place_batch(jnp.asarray(null)))
         # fence with a device->host transfer: on the remote-TPU tunnel
         # block_until_ready does NOT block, so without this the server
         # reports ready while the first real request pays the multi-minute
@@ -78,7 +93,8 @@ class ExplainService:
         for (chunk,), real in iter_fixed_batches(
             [np.asarray(xs)], self.batch_size
         ):
-            logits, attr = self._fw(self.final_params, jnp.asarray(chunk))
+            logits, attr = self._fw(self.final_params,
+                                    self._place_batch(jnp.asarray(chunk)))
             logits_all.append(np.asarray(logits)[:real])
             attr_all.append(np.asarray(attr)[:real])
         return {

