@@ -19,11 +19,18 @@ from .utils.seeding import set_iterative_seed
 
 
 def _apply_device(device: str) -> None:
+    # multi-host: AUTOGNOTHI_DIST_COORD/NPROCS/PROC_ID engage
+    # jax.distributed (no-op when unset).  Ordering matters: after the
+    # platform pin (gloo detection reads it), before any backend init.
+    from .parallel.distributed import maybe_initialize_distributed
+
     if device and device.startswith("cpu"):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        maybe_initialize_distributed()
         return
+    maybe_initialize_distributed()
     # "tpu" / "cuda:*" / "" -> default platform (the accelerator); keep the
     # host CPU backend available for surgery-heavy phases
     from .utils.devices import ensure_cpu_backend
@@ -119,6 +126,12 @@ def main(argv: Optional[List[str]] = None) -> None:
     args = build_parser().parse_args(argv)
     set_iterative_seed(42, "scripts.shell.main")
     _apply_device(getattr(args, "device", ""))
+    from .parallel.distributed import distributed_env_configured
+
+    if distributed_env_configured():
+        from .parallel.distributed import process_info
+
+        print(f"[distributed] {process_info()}", file=sys.stderr)
     command = args.command
 
     if command == "preload_all":

@@ -387,12 +387,24 @@ def bert_explainer_head(
             ident_ln1=(i == 0), deterministic=deterministic, rng=_rng(rng, 20 + i),
         )
     h = dropout(_rng(rng, 29), h, cfg.hidden_dropout_prob, deterministic)
-    # the two wide head denses ride the W8A8 path in int8 serving mode
-    h = gelu(dense_serving(h, p["explainer_mlp.0.weight"],
-                           p["explainer_mlp.0.bias"]))
-    h = gelu(dense_serving(h, p["explainer_mlp.2.weight"],
-                           p["explainer_mlp.2.bias"]))
-    out = dense(h, p["explainer_mlp.4.weight"], p["explainer_mlp.4.bias"])
+    # int8 serving: the whole head (d1+gelu+d2+gelu+d3, no LN in the BERT
+    # variant) fuses into one Pallas kernel with int8 weights VMEM-resident
+    # (ops/head_block.py); otherwise the denses ride the W8A8 XLA path
+    from ..ops.head_block import explainer_head_block, head_fits_vmem
+    from .common import pallas_mode, quant_mode
+
+    w1, b1 = p["explainer_mlp.0.weight"], p["explainer_mlp.0.bias"]
+    w2, b2 = p["explainer_mlp.2.weight"], p["explainer_mlp.2.bias"]
+    w3, b3 = p["explainer_mlp.4.weight"], p["explainer_mlp.4.bias"]
+    if (pallas_mode() == "2" and quant_mode() == "int8" and h.ndim == 3
+            and w1.shape[0] == w2.shape[0]
+            and head_fits_vmem(h.shape[-1], w1.shape[0], h.shape[-2])):
+        out = explainer_head_block(h, w1, b1, w2, b2, w3, b3, None, None,
+                                   1e-5, use_pallas=True, quant="int8")
+    else:
+        h = gelu(dense_serving(h, w1, b1))
+        h = gelu(dense_serving(h, w2, b2))
+        out = dense(h, w3, b3)
     if cfg.explainer_normalize:
         out = normalize_shapley_explanation(out, surrogate_grand, surrogate_null)
     return jnp.swapaxes(out[:, 1:, :], 1, 2)

@@ -348,9 +348,23 @@ def ltt_bert_explainer_head(
         None if rng is None else jax.random.fold_in(rng, 29),
         side, cfg.hidden_dropout_prob, deterministic,
     )
-    side = gelu(dense(side, p[f"{mlp_prefix}.0.weight"], p[f"{mlp_prefix}.0.bias"]))
-    side = gelu(dense(side, p[f"{mlp_prefix}.2.weight"], p[f"{mlp_prefix}.2.bias"]))
-    out = dense(side, p[f"{mlp_prefix}.4.weight"], p[f"{mlp_prefix}.4.bias"])
+    # int8 serving: the head fuses into one Pallas kernel with int8 weights
+    # VMEM-resident (ops/head_block.py, no LN in the BERT head variant)
+    from ..ops.head_block import explainer_head_block, head_fits_vmem
+    from .common import pallas_mode, quant_mode
+
+    w1, b1 = p[f"{mlp_prefix}.0.weight"], p[f"{mlp_prefix}.0.bias"]
+    w2, b2 = p[f"{mlp_prefix}.2.weight"], p[f"{mlp_prefix}.2.bias"]
+    w3, b3 = p[f"{mlp_prefix}.4.weight"], p[f"{mlp_prefix}.4.bias"]
+    if (pallas_mode() == "2" and quant_mode() == "int8" and side.ndim == 3
+            and w1.shape[0] == w2.shape[0]
+            and head_fits_vmem(side.shape[-1], w1.shape[0], side.shape[-2])):
+        out = explainer_head_block(side, w1, b1, w2, b2, w3, b3, None, None,
+                                   1e-5, use_pallas=True, quant="int8")
+    else:
+        side = gelu(dense(side, w1, b1))
+        side = gelu(dense(side, w2, b2))
+        out = dense(side, w3, b3)
     if cfg.explainer_normalize:
         out = normalize_shapley_explanation(out, surrogate_grand, surrogate_null)
     return jnp.swapaxes(out[:, 1:, :], 1, 2)

@@ -288,13 +288,9 @@ def ltt_vit_explainer_head(
             has_ln1=(i != 0), deterministic=deterministic,
             rng=None if rng is None else jax.random.fold_in(rng, 20 + i),
         )
-    side = layer_norm(side, p["s_explainer_mlp.0.weight"],
-                      p["s_explainer_mlp.0.bias"], 1e-5)
-    side = gelu(dense(side, p["s_explainer_mlp.1.weight"],
-                      p["s_explainer_mlp.1.bias"]))
-    side = gelu(dense(side, p["s_explainer_mlp.3.weight"],
-                      p["s_explainer_mlp.3.bias"]))
-    out = dense(side, p["s_explainer_mlp.5.weight"], p["s_explainer_mlp.5.bias"])
+    from .vit import explainer_mlp_head
+
+    out = explainer_mlp_head(p, side, prefix="s_explainer_mlp")
     if cfg.explainer_normalize:
         out = normalize_shapley_explanation(out, surrogate_grand, surrogate_null)
     return jnp.swapaxes(out[:, 1:, :], 1, 2)

@@ -378,6 +378,36 @@ def vit_classifier_fwd(
 vit_surrogate_fwd = vit_classifier_fwd
 
 
+def explainer_mlp_head(p: Params, h: jax.Array,
+                       prefix: str = "explainer_mlp") -> jax.Array:
+    """The explainer MLP head: LN (torch default eps 1e-5) -> d1 -> gelu ->
+    d2 -> gelu -> d3.  In int8 serving mode with the kernels active, the
+    whole stack runs as ONE fused Pallas kernel with int8 weights
+    VMEM-resident (ops/head_block.py — measured 136-146 us/img via XLA for
+    ~4 GF on the r3 breakdown, dominated by the <B*T, 3072> intermediates'
+    HBM round trips); otherwise LN + dense_serving denses as before.
+    Shared by the ViT/BERT families and the LTT side heads."""
+    from ..ops.head_block import explainer_head_block, head_fits_vmem
+    from .common import pallas_mode, quant_mode
+
+    w1, b1 = p[f"{prefix}.1.weight"], p[f"{prefix}.1.bias"]
+    w2, b2 = p[f"{prefix}.3.weight"], p[f"{prefix}.3.bias"]
+    w3, b3 = p[f"{prefix}.5.weight"], p[f"{prefix}.5.bias"]
+    ln_w, ln_b = p[f"{prefix}.0.weight"], p[f"{prefix}.0.bias"]
+    if (pallas_mode() == "2" and quant_mode() == "int8" and h.ndim == 3
+            and w1.shape[0] == w2.shape[0]
+            and head_fits_vmem(h.shape[-1], w1.shape[0], h.shape[-2])):
+        return explainer_head_block(
+            h, w1, b1, w2, b2, w3, b3, ln_w, ln_b, 1e-5,
+            use_pallas=True, quant="int8",
+        )
+    h = layer_norm(h, ln_w, ln_b, 1e-5)  # torch nn.LayerNorm default eps
+    # the two wide head denses ride the W8A8 path in int8 serving mode
+    h = gelu(dense_serving(h, w1, b1))
+    h = gelu(dense_serving(h, w2, b2))
+    return dense(h, w3, b3)
+
+
 def vit_explainer_head(
     p: Params,
     cfg: VanillaViTConfig,
@@ -396,14 +426,7 @@ def vit_explainer_head(
             layer, h, mask, cfg,
             has_ln1=(i != 0), deterministic=deterministic, rng=_rng(rng, 20 + i),
         )
-    h = layer_norm(h, p["explainer_mlp.0.weight"], p["explainer_mlp.0.bias"],
-                   1e-5)  # torch nn.LayerNorm default eps
-    # the two wide head denses ride the W8A8 path in int8 serving mode
-    h = gelu(dense_serving(h, p["explainer_mlp.1.weight"],
-                           p["explainer_mlp.1.bias"]))
-    h = gelu(dense_serving(h, p["explainer_mlp.3.weight"],
-                           p["explainer_mlp.3.bias"]))
-    out = dense(h, p["explainer_mlp.5.weight"], p["explainer_mlp.5.bias"])
+    out = explainer_mlp_head(p, h)
     if cfg.explainer_normalize:
         out = normalize_shapley_explanation(out, surrogate_grand, surrogate_null)
     # drop CLS, -> <B, n_classes, n_players>

@@ -45,6 +45,13 @@ def measure_accuracy(
     gen_input = recipe.gen_input(m_config, m_misc)
     epoch_srg, srg_params = load_epoch_model(env, recipe, "surrogate")
 
+    # embarrassingly parallel over the batch (SURVEY §2.9): params
+    # replicated, batch sharded along the data mesh — identical math
+    from ..parallel.mesh import setup_data_parallel
+
+    _, place_params, place_batch = setup_data_parallel()
+    srg_params = place_params(srg_params)
+
     fwd = jax.jit(
         lambda p, xs, mask: recipe.fw_surrogate(m_config, p, xs, mask)[0]
     )
@@ -65,7 +72,8 @@ def measure_accuracy(
                 config.seed, f"measure_accuracy[mask={n_masked},batch={batch_idx}]"
             )
             mask = mask_uniform_selective(key, batch, n_players, int(n_masked))
-            probs = fwd(srg_params, jnp.asarray(xs), mask)
+            probs = fwd(srg_params, place_batch(jnp.asarray(xs)),
+                        place_batch(mask))
             correct += int(np.sum(np.argmax(np.asarray(probs), axis=1) == zs))
             total += batch
             env.log(

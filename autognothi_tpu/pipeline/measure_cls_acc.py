@@ -57,6 +57,12 @@ def measure_cls_acc(
             return ep == config.train_explainer.epochs
         return ranged_modulo_test(config.eval_cls_acc.on_exp_epochs)(ep)
 
+    # embarrassingly parallel over the batch (SURVEY §2.9): params
+    # replicated, batch sharded along the data mesh — identical math
+    from ..parallel.mesh import setup_data_parallel
+
+    _, place_params, place_batch = setup_data_parallel()
+
     fw_final = jax.jit(lambda p, xs: recipe.fw_final(m_config, p, xs)[0])
 
     env.log("[[[ measuring explainers... ]]]")
@@ -72,9 +78,9 @@ def measure_cls_acc(
         )
         exp_params = {k: jnp.asarray(v) for k, v in arrays.items()}
         key = iterative_key(config.seed, f"measure_cls_acc[epoch={epoch_exp}]")
-        final_params = recipe.conv_explainer_final(
+        final_params = place_params(recipe.conv_explainer_final(
             m_config, m_misc, cls_params, srg_params, exp_params, key
-        )
+        ))
 
         ts_begin = time.time()
         correct, total = 0, 0
@@ -82,7 +88,7 @@ def measure_cls_acc(
             d_loader.test(config.train_classifier.batch_size)
         ):
             xs, zs = gen_input(_inputs, _targets)
-            probs = fw_final(final_params, jnp.asarray(xs))
+            probs = fw_final(final_params, place_batch(jnp.asarray(xs)))
             correct += int(np.sum(np.argmax(np.asarray(probs), axis=1) == zs))
             total += xs.shape[0]
             env.log(

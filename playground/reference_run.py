@@ -133,6 +133,28 @@ MINI_VIT_NET_PARAMS = {
 }
 
 
+MINI_LTT_VIT_NET_PARAMS = {
+    # mini LTT ViT (the flagship architecture at test dims; ladder fields
+    # mirror tests/test_ltt_e2e.py)
+    "attention_probs_dropout_prob": 0.0,
+    "explainer_s_attn_num_layers": 1,
+    "explainer_s_head_hidden_size": 16,
+    "explainer_normalize": True,
+    "hidden_dropout_prob": 0.0,
+    "hidden_size": 32,
+    "intermediate_size": 64,
+    "layer_norm_eps": 1e-12,
+    "num_attention_heads": 4,
+    "num_hidden_layers": 2,
+    "num_labels": 3,
+    "s_attn_hidden_size": 16,
+    "s_attn_intermediate_size": 32,
+    "img_channels": 3,
+    "img_px_size": 16,
+    "img_patch_size": 8,
+}
+
+
 VIT_BASE_NET_PARAMS = {
     # the reference's shipped vit_base_imagenette_vanilla net params
     # (/root/reference/experiments/vit_base_imagenette_vanilla/.hparams.json)
@@ -354,6 +376,36 @@ def seed_vit_experiment(exp: pathlib.Path, net_params: dict, epochs: tuple,
     torch.manual_seed(0)
     model = model_cls(cfg_cls(**net_params))
     torch.save(model.state_dict(), exp / "classifier-epoch-0.ckpt")
+
+
+def install_ltt_vit_conv_fix() -> None:
+    """UPSTREAM BUG WORKAROUND: the reference's ltt_vit
+    `_conv_surrogate_explainer` (/root/reference/recipes/ltt_vit.py:120-136)
+    omits the `New()` rules for the `s_explainer_attn` layers, so its own
+    merge fails ("ignored key from into_model") whenever
+    `explainer_s_attn_num_layers > 0` — its ltt_bert sibling has the
+    analogous rules (ltt_bert.py:145-152).  Patch in the missing rules so
+    the shipped ViT-LTT conversion chain actually runs; everything else is
+    stock reference code."""
+    from reference.recipes import ltt_vit as r
+    from reference.utils.nnmodel import New, merge_state_dicts
+
+    def fixed(cfg, _misc, surrogate):
+        rules = {
+            "vit.{_}": ...,
+            "classifier.{_}": ...,
+            "s_attn_classifier.{wb}": None,
+            New(): "s_explainer_attn.{_}",
+            New(): "s_explainer_mlp.0.{wb}",
+            New(): "s_explainer_mlp.1.{wb}",
+            New(): "s_explainer_mlp.3.{wb}",
+            New(): "s_explainer_mlp.5.{wb}",
+        }
+        explainer = r.LttViTExplainer(cfg)
+        merge_state_dicts((rules, surrogate), into=explainer)
+        return explainer
+
+    r._conv_surrogate_explainer = fixed
 
 
 CV_SAMPLES_SPEC = dict(train_size=8, test_size=4, img_px_size=16,

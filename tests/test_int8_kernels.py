@@ -103,3 +103,72 @@ def test_int8_tiled_mlp_close_to_fp32():
         mb._VMEM_BUDGET_BYTES = old
     rel = float(jnp.max(jnp.abs(ref - q))) / float(jnp.max(jnp.abs(ref)))
     assert rel < 0.02, rel
+
+
+def _head_args(h_in=32, inter=64, c=5):
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(B, T, h_in).astype(np.float32)) * 0.5
+    w1 = jnp.asarray(rng.randn(inter, h_in).astype(np.float32)) * 0.1
+    b1 = jnp.asarray(rng.randn(inter).astype(np.float32)) * 0.1
+    w2 = jnp.asarray(rng.randn(inter, inter).astype(np.float32)) * 0.1
+    b2 = jnp.asarray(rng.randn(inter).astype(np.float32)) * 0.1
+    w3 = jnp.asarray(rng.randn(c, inter).astype(np.float32)) * 0.1
+    b3 = jnp.asarray(rng.randn(c).astype(np.float32)) * 0.1
+    ln_w = jnp.ones((h_in,)) + 0.1
+    ln_b = jnp.zeros((h_in,)) - 0.05
+    return x, w1, b1, w2, b2, w3, b3, ln_w, ln_b
+
+
+def test_int8_head_block_close_to_fp32():
+    """The fused explainer-head kernel (LN + d1 + gelu + d2 + gelu + d3,
+    int8 weights) matches the fp32 math, with and without the leading LN."""
+    from autognothi_tpu.ops.head_block import explainer_head_block
+
+    x, w1, b1, w2, b2, w3, b3, ln_w, ln_b = _head_args()
+    for ln in ((ln_w, ln_b), (None, None)):
+        ref = explainer_head_block(x, w1, b1, w2, b2, w3, b3, ln[0], ln[1],
+                                   1e-5, use_pallas=False)
+        q = explainer_head_block(x, w1, b1, w2, b2, w3, b3, ln[0], ln[1],
+                                 1e-5, use_pallas=True, quant="int8",
+                                 interpret=True)
+        rel = float(jnp.max(jnp.abs(ref - q))) / float(jnp.max(jnp.abs(ref)))
+        assert rel < 0.03, (ln[0] is not None, rel)
+
+
+def test_int8_head_block_nondivisible_tokens():
+    """Token counts that don't divide the tile (e.g. T=197-like odd sizes):
+    out-of-range rows are masked on store, real rows match."""
+    from autognothi_tpu.ops import head_block as hb
+
+    x, w1, b1, w2, b2, w3, b3, ln_w, ln_b = _head_args()
+    x = jnp.concatenate([x] * 9, axis=1)[:, :37]  # T=37, tile 32 -> 2 tiles
+    ref = hb.explainer_head_block(x, w1, b1, w2, b2, w3, b3, ln_w, ln_b,
+                                  1e-5, use_pallas=False)
+    q = hb.explainer_head_block(x, w1, b1, w2, b2, w3, b3, ln_w, ln_b,
+                                1e-5, use_pallas=True, quant="int8",
+                                interpret=True)
+    rel = float(jnp.max(jnp.abs(ref - q))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 0.03, rel
+
+
+def test_int8_head_block_gradients():
+    from autognothi_tpu.ops.head_block import explainer_head_block
+
+    x, w1, b1, w2, b2, w3, b3, ln_w, ln_b = _head_args()
+
+    def loss_q(xx):
+        return jnp.sum(explainer_head_block(
+            xx, w1, b1, w2, b2, w3, b3, ln_w, ln_b, 1e-5,
+            use_pallas=True, quant="int8", interpret=True) ** 2)
+
+    def loss_ref(xx):
+        return jnp.sum(explainer_head_block(
+            xx, w1, b1, w2, b2, w3, b3, ln_w, ln_b, 1e-5,
+            use_pallas=False) ** 2)
+
+    g_q = jax.grad(loss_q)(x)
+    g_ref = jax.grad(loss_ref)(x)
+    assert np.isfinite(np.asarray(g_q)).all()
+    rel = float(jnp.max(jnp.abs(g_q - g_ref))) / (
+        float(jnp.max(jnp.abs(g_ref))) + 1e-9)
+    assert rel < 0.05, rel
