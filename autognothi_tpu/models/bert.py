@@ -203,11 +203,12 @@ def _bert_layer_body(
     fused = pallas_mode() == "2" and dropout_off and mask_bias is not None \
         and h.ndim == 3 and fused_dims_ok(cfg.hidden_size)
     if fused:
-        from .common import quant_mode
+        from .common import narrow_group, quant_mode
         from ..ops.attention_block import attention_block
         from ..ops.mlp_block import mlp_block
 
         quant = quant_mode()
+        group = narrow_group(cfg.hidden_size, h.shape[0])
         ln1 = (
             None if ident_ln1 else
             (layer["attention.output.LayerNorm.weight"],
@@ -224,7 +225,7 @@ def _bert_layer_body(
              layer["attention.output.dense.weight"],
              layer["attention.output.dense.bias"]),
             cfg.num_attention_heads, "add", use_pallas=True,
-            ln=ln1, ln_position="epilogue", quant=quant,
+            ln=ln1, ln_position="epilogue", quant=quant, group=group,
         )
         return mlp_block(
             attn_out,
@@ -233,7 +234,7 @@ def _bert_layer_body(
             use_pallas=True,
             ln=(layer["output.LayerNorm.weight"],
                 layer["output.LayerNorm.bias"], cfg.layer_norm_eps),
-            ln_position="epilogue", quant=quant,
+            ln_position="epilogue", quant=quant, group=group,
         )
 
     ctx = self_attention(

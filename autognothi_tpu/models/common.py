@@ -190,6 +190,22 @@ def pallas_mode() -> str:
     return "2"  # auto
 
 
+def narrow_group(hidden: int, batch) -> int:
+    """Images per kernel grid step for narrow (<128-wide) layers — the LTT
+    96-dim ladders.  Their per-image compute is tiny, so the per-grid-step
+    overhead dominates; batching G images per step amortizes it (identical
+    math: projections batch over rows, attention stays per-image).
+    AUTOGNOTHI_NARROW_GROUP (trace-time, default 8; 1 disables).  Wide
+    layers always run one image per step (r2: the K=768 dot rate is
+    M-independent — grouping buys nothing there)."""
+    if hidden >= 128 or not isinstance(batch, int):
+        return 1
+    g = max(1, int(os.environ.get("AUTOGNOTHI_NARROW_GROUP", "8")))
+    while g > 1 and batch % g != 0:
+        g //= 2
+    return g
+
+
 def pallas_interpret() -> bool:
     """AUTOGNOTHI_PALLAS_INTERPRET=1 makes the fused-block ops default to
     Pallas interpret mode (runs anywhere, numerically identical modulo the

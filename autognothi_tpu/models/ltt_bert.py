@@ -224,14 +224,23 @@ def ltt_bert_encoder(
             main_layer, h, mask_bias, cfg.into(),
             ident_ln1=False, deterministic=deterministic, rng=layer_rng,
         )
+        # both branch maps as ONE dense: h is read once, not once per
+        # branch (mirrors ltt_vit — the <B, T, 768> re-read is HBM time)
+        all_maps = side_parts[0::2]
+        joint = None if not all_maps else gelu(dense(
+            h,
+            jnp.concatenate([m["weight"] for m in all_maps], axis=0),
+            jnp.concatenate([m["bias"] for m in all_maps], axis=0),
+        ))
+        s_hidden = cfg.s_attn_hidden_size
         new_sides = []
-        for slot, (maps, layers) in enumerate(zip(side_parts[0::2], side_parts[1::2])):
+        for slot, layers in enumerate(side_parts[1::2]):
             side = sides[slot]
             side_rng = (
                 None if rng is None
                 else jax.random.fold_in(rng, 1000 + slot * 100 + layer_idx)
             )
-            upd = side + gelu(dense(h, maps["weight"], maps["bias"]))
+            upd = side + joint[..., slot * s_hidden:(slot + 1) * s_hidden]
             upd = _bert_layer_body(
                 layers, upd, mask_bias, side_cfg,
                 ident_ln1=False, deterministic=deterministic, rng=side_rng,

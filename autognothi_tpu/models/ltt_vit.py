@@ -219,14 +219,24 @@ def ltt_vit_backbone(
             main_layer, h, attention_mask, cfg.into(),
             has_ln1=True, deterministic=deterministic, rng=layer_rng,
         )
+        # both branch maps as ONE dense (out-features concatenated): h is
+        # read once instead of once per branch — <B, T, 768> re-reads are
+        # real HBM time at serving batch sizes on this bandwidth-bound chip
+        all_maps = side_parts[0::2]
+        joint = None if not all_maps else gelu(dense(
+            h,
+            jnp.concatenate([m["weight"] for m in all_maps], axis=0),
+            jnp.concatenate([m["bias"] for m in all_maps], axis=0),
+        ))
+        s_hidden = cfg.s_attn_hidden_size
         new_sides = []
-        for slot, (maps, layers) in enumerate(zip(side_parts[0::2], side_parts[1::2])):
+        for slot, layers in enumerate(side_parts[1::2]):
             side = sides[slot]
             side_rng = (
                 None if enc_rng is None
                 else jax.random.fold_in(enc_rng, 1000 + slot * 100 + layer_idx)
             )
-            upd = side + gelu(dense(h, maps["weight"], maps["bias"]))
+            upd = side + joint[..., slot * s_hidden:(slot + 1) * s_hidden]
             upd = _vit_layer_body(
                 layers, upd, attention_mask, side_cfg,
                 has_ln1=True, deterministic=deterministic, rng=side_rng,

@@ -245,11 +245,12 @@ def _vit_layer_body(
     fused = pallas_mode() == "2" and dropout_off and mask is not None \
         and h.ndim == 3 and fused_dims_ok(cfg.hidden_size)
     if fused:
-        from .common import quant_mode
+        from .common import narrow_group, quant_mode
         from ..ops.attention_block import attention_block
         from ..ops.mlp_block import mlp_block
 
         quant = quant_mode()
+        group = narrow_group(cfg.hidden_size, h.shape[0])
         ln1 = (
             (layer["layernorm_before.weight"], layer["layernorm_before.bias"],
              cfg.layer_norm_eps)
@@ -266,7 +267,7 @@ def _vit_layer_body(
              layer["attention.output.dense.weight"],
              layer["attention.output.dense.bias"]),
             cfg.num_attention_heads, "mul", use_pallas=True,
-            ln=ln1, ln_position="prologue", quant=quant,
+            ln=ln1, ln_position="prologue", quant=quant, group=group,
         )
         return mlp_block(
             h,
@@ -275,7 +276,7 @@ def _vit_layer_body(
             use_pallas=True,
             ln=(layer["layernorm_after.weight"], layer["layernorm_after.bias"],
                 cfg.layer_norm_eps),
-            ln_position="prologue", quant=quant,
+            ln_position="prologue", quant=quant, group=group,
         )
 
     if has_ln1:

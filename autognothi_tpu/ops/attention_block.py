@@ -139,12 +139,13 @@ def _heads_attention(q, k, v, mask_row, *, n_heads: int, mode: str):
 def _kernel(mask_ref, r_ref, wq_ref, bq_ref, wk_ref, bk_ref,
             wv_ref, bv_ref, wo_ref, bo_ref, lnw_ref, lnb_ref, o_ref,
             *, n_heads: int, mode: str, ln_position: str, ln_eps: float):
-    resid = r_ref[0]  # <T, H>
+    g, t, h = r_ref.shape  # g images per grid step (rows independent
+    # outside the per-image attention loop below)
+    resid = r_ref[...].reshape(g * t, h)
     if ln_position == "prologue":
         x = _ln32(resid, lnw_ref[0], lnb_ref[0], ln_eps)
     else:
         x = resid
-    mask_row = mask_ref[0, 0]  # <T>
 
     def proj(w_ref, b_ref):
         y = jax.lax.dot_general(
@@ -153,10 +154,14 @@ def _kernel(mask_ref, r_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         ) + b_ref[0].astype(jnp.float32)
         return y.astype(x.dtype)
 
-    q = proj(wq_ref, bq_ref)  # <T, H>
-    k = proj(wk_ref, bk_ref)
-    v = proj(wv_ref, bv_ref)
-    ctx = _heads_attention(q, k, v, mask_row, n_heads=n_heads, mode=mode)
+    q = proj(wq_ref, bq_ref).reshape(g, t, h)
+    k = proj(wk_ref, bk_ref).reshape(g, t, h)
+    v = proj(wv_ref, bv_ref).reshape(g, t, h)
+    ctx = jnp.concatenate([
+        _heads_attention(q[i], k[i], v[i], mask_ref[i, 0],
+                         n_heads=n_heads, mode=mode)[None]
+        for i in range(g)
+    ], axis=0).reshape(g * t, h)
 
     out = jax.lax.dot_general(
         ctx, wo_ref[...], (((1,), (0,)), ((), ())),
@@ -165,7 +170,7 @@ def _kernel(mask_ref, r_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     out = resid + out.astype(resid.dtype)
     if ln_position == "epilogue":
         out = _ln32(out, lnw_ref[0], lnb_ref[0], ln_eps)
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[...] = out.reshape(g, t, h).astype(o_ref.dtype)
 
 
 def _kernel_q(mask_ref, r_ref, wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
@@ -178,12 +183,12 @@ def _kernel_q(mask_ref, r_ref, wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
     FLOPs; quantizing them buys little and costs accuracy)."""
     from .mlp_block import _quant_rows
 
-    resid = r_ref[0]  # <T, H>
+    g, t, h = r_ref.shape
+    resid = r_ref[...].reshape(g * t, h)
     if ln_position == "prologue":
         x = _ln32(resid, lnw_ref[0], lnb_ref[0], ln_eps)
     else:
         x = resid
-    mask_row = mask_ref[0, 0]  # <T>
 
     xq, xs = _quant_rows(x.astype(jnp.float32))
 
@@ -196,10 +201,14 @@ def _kernel_q(mask_ref, r_ref, wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
             + b_ref[0].astype(jnp.float32)
         return y.astype(x.dtype)
 
-    q = proj_q(wq_ref, sq_ref, bq_ref)  # <T, H>
-    k = proj_q(wk_ref, sk_ref, bk_ref)
-    v = proj_q(wv_ref, sv_ref, bv_ref)
-    ctx = _heads_attention(q, k, v, mask_row, n_heads=n_heads, mode=mode)
+    q = proj_q(wq_ref, sq_ref, bq_ref).reshape(g, t, h)
+    k = proj_q(wk_ref, sk_ref, bk_ref).reshape(g, t, h)
+    v = proj_q(wv_ref, sv_ref, bv_ref).reshape(g, t, h)
+    ctx = jnp.concatenate([
+        _heads_attention(q[i], k[i], v[i], mask_ref[i, 0],
+                         n_heads=n_heads, mode=mode)[None]
+        for i in range(g)
+    ], axis=0).reshape(g * t, h)
 
     cq, cs = _quant_rows(ctx.astype(jnp.float32))
     acc = jax.lax.dot_general(
@@ -211,13 +220,13 @@ def _kernel_q(mask_ref, r_ref, wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
     out = resid + out.astype(resid.dtype)
     if ln_position == "epilogue":
         out = _ln32(out, lnw_ref[0], lnb_ref[0], ln_eps)
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[...] = out.reshape(g, t, h).astype(o_ref.dtype)
 
 
 def _pallas_attention_block_q(
     resid, mask_row, wq, bq, wk, bk, wv, bv, wo, bo, ln_w, ln_b,
     *, n_heads: int, mode: str, ln_position: str, ln_eps: float,
-    interpret: bool = False,
+    interpret: bool = False, group: int = 1,
 ):
     from .mlp_block import quant_cols
 
@@ -228,7 +237,7 @@ def _pallas_attention_block_q(
     wv_q, sv = quant_cols(wv)
     wo_q, so = quant_cols(wo)
 
-    act_spec = pl.BlockSpec((1, t, h), lambda i: (i, 0, 0),
+    act_spec = pl.BlockSpec((group, t, h), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
     b_spec = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -239,9 +248,9 @@ def _pallas_attention_block_q(
     )
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // group,),
         in_specs=[
-            pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0),
+            pl.BlockSpec((group, 1, t), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             act_spec,
             w_spec, b_spec, b_spec,
@@ -260,12 +269,12 @@ def _pallas_attention_block_q(
 def _pallas_attention_block(
     resid, mask_row, wq, bq, wk, bk, wv, bv, wo, bo, ln_w, ln_b,
     *, n_heads: int, mode: str, ln_position: str, ln_eps: float,
-    interpret: bool = False,
+    interpret: bool = False, group: int = 1,
 ):
     b, t, h = resid.shape
     mask3 = mask_row.astype(jnp.float32)[:, None, :]
 
-    act_spec = pl.BlockSpec((1, t, h), lambda i: (i, 0, 0),
+    act_spec = pl.BlockSpec((group, t, h), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     # constant index maps -> the weight blocks stay resident in VMEM
     w_spec = pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -277,9 +286,9 @@ def _pallas_attention_block(
     )
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // group,),
         in_specs=[
-            pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0),
+            pl.BlockSpec((group, 1, t), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             act_spec,
             w_spec, b_spec, w_spec, b_spec, w_spec, b_spec, w_spec, b_spec,
@@ -294,7 +303,7 @@ def _pallas_attention_block(
 
 @functools.lru_cache(maxsize=None)
 def _make_block_fn(n_heads: int, mode: str, ln_position: str, ln_eps: float,
-                   interpret: bool, quant: str = "none"):
+                   interpret: bool, quant: str = "none", group: int = 1):
     xla = functools.partial(_xla_attention_block, n_heads=n_heads, mode=mode,
                             ln_position=ln_position, ln_eps=ln_eps)
     pallas = (_pallas_attention_block_q if quant == "int8"
@@ -305,7 +314,7 @@ def _make_block_fn(n_heads: int, mode: str, ln_position: str, ln_eps: float,
         return pallas(
             resid, mask_row, wq, bq, wk, bk, wv, bv, wo, bo, ln_w, ln_b,
             n_heads=n_heads, mode=mode, ln_position=ln_position,
-            ln_eps=ln_eps, interpret=interpret,
+            ln_eps=ln_eps, interpret=interpret, group=group,
         )
 
     def fwd(*args):
@@ -329,8 +338,8 @@ def interpret_default() -> bool:
     return os.environ.get("AUTOGNOTHI_PALLAS_INTERPRET") == "1"
 
 
-def _fits_vmem(resid, quant: str = "none") -> bool:
-    t, h = resid.shape[-2], resid.shape[-1]
+def _fits_vmem(resid, quant: str = "none", group: int = 1) -> bool:
+    t, h = resid.shape[-2] * group, resid.shape[-1]
     itemsize = jnp.dtype(resid.dtype).itemsize
     w_item = 1 if quant == "int8" else itemsize  # int8 weights quarter VMEM
     weights = 4 * h * h * w_item
@@ -354,6 +363,7 @@ def attention_block(
     ln_position: str = "none",  # "prologue" (pre-norm) | "epilogue" (post)
     interpret: bool = False,
     quant: str = "none",
+    group: int = 1,
 ) -> jax.Array:
     """-> residual-attended block output with optional fused LayerNorm.
 
@@ -361,9 +371,15 @@ def attention_block(
     epilogue: LN(resid + OutProj(Attn(resid)));
     none:     resid + OutProj(Attn(resid)).
     Weights in torch (out, in) layout are transposed at trace time.
-    quant="int8": W8A8 projections in the fused kernel (serving path)."""
+    quant="int8": W8A8 projections in the fused kernel (serving path).
+    group: images per grid step — amortizes per-step overhead on NARROW
+    layers (the 96-dim LTT ladders); the projections batch across the
+    group's rows, attention stays per-image.  Ignored unless it divides
+    B."""
     wq, bq, wk, bk, wv, bv, wo, bo = weights
     interpret = interpret or interpret_default()
+    if group > 1 and resid.shape[0] % group != 0:
+        group = 1
     if ln is None:
         ln_w = jnp.ones((resid.shape[-1],), resid.dtype)
         ln_b = jnp.zeros((resid.shape[-1],), resid.dtype)
@@ -375,8 +391,8 @@ def attention_block(
             wq.T.astype(resid.dtype), bq, wk.T.astype(resid.dtype), bk,
             wv.T.astype(resid.dtype), bv, wo.T.astype(resid.dtype), bo,
             ln_w, ln_b)
-    if use_pallas and _fits_vmem(resid, quant):
+    if use_pallas and _fits_vmem(resid, quant, group):
         return _make_block_fn(n_heads, mode, ln_position, float(ln_eps),
-                              interpret, quant)(*args)
+                              interpret, quant, group)(*args)
     return _xla_attention_block(*args, n_heads=n_heads, mode=mode,
                                 ln_position=ln_position, ln_eps=float(ln_eps))

@@ -89,7 +89,8 @@ def _xla_mlp_block(resid, w1, b1, w2, b2, ln_w, ln_b,
 
 def _kernel(r_ref, w1_ref, b1_ref, w2_ref, b2_ref, lnw_ref, lnb_ref, o_ref,
             *, ln_position: str, ln_eps: float):
-    resid = r_ref[0]  # <T, H>
+    g, t, h = r_ref.shape
+    resid = r_ref[...].reshape(g * t, h)  # rows are independent
     if ln_position == "prologue":
         x = _ln32(resid, lnw_ref[0], lnb_ref[0], ln_eps)
     else:
@@ -106,7 +107,7 @@ def _kernel(r_ref, w1_ref, b1_ref, w2_ref, b2_ref, lnw_ref, lnb_ref, o_ref,
     out = resid + out.astype(resid.dtype)
     if ln_position == "epilogue":
         out = _ln32(out, lnw_ref[0], lnb_ref[0], ln_eps)
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[...] = out.reshape(g, t, h).astype(o_ref.dtype)
 
 
 def _kernel_q(r_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
@@ -114,7 +115,8 @@ def _kernel_q(r_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     """W8A8 variant: int8 weights (per-out-channel scales) + dynamic
     per-token activation quantization; both dots run on the int8 MXU path
     (~1.8x bf16 on this chip, playground/bench_int8.py)."""
-    resid = r_ref[0]  # <T, H>
+    g, t, h = r_ref.shape
+    resid = r_ref[...].reshape(g * t, h)  # rows are independent
     if ln_position == "prologue":
         x = _ln32(resid, lnw_ref[0], lnb_ref[0], ln_eps)
     else:
@@ -137,17 +139,17 @@ def _kernel_q(r_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     out = resid + out.astype(resid.dtype)
     if ln_position == "epilogue":
         out = _ln32(out, lnw_ref[0], lnb_ref[0], ln_eps)
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[...] = out.reshape(g, t, h).astype(o_ref.dtype)
 
 
 def _pallas_mlp_block_q(resid, w1, b1, w2, b2, ln_w, ln_b,
                         *, ln_position: str, ln_eps: float,
-                        interpret: bool = False):
+                        interpret: bool = False, group: int = 1):
     b, t, h = resid.shape
     inter_dim = w1.shape[1]
     w1_q, s1 = quant_cols(w1)
     w2_q, s2 = quant_cols(w2)
-    act_spec = pl.BlockSpec((1, t, h), lambda i: (i, 0, 0),
+    act_spec = pl.BlockSpec((group, t, h), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     h_vec = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
     i_vec = pl.BlockSpec((1, inter_dim), lambda i: (0, 0),
@@ -156,7 +158,7 @@ def _pallas_mlp_block_q(resid, w1, b1, w2, b2, ln_w, ln_b,
                                ln_eps=ln_eps)
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // group,),
         in_specs=[
             act_spec,
             pl.BlockSpec((h, inter_dim), lambda i: (0, 0),
@@ -174,17 +176,17 @@ def _pallas_mlp_block_q(resid, w1, b1, w2, b2, ln_w, ln_b,
 
 def _pallas_mlp_block(resid, w1, b1, w2, b2, ln_w, ln_b,
                       *, ln_position: str, ln_eps: float,
-                      interpret: bool = False):
+                      interpret: bool = False, group: int = 1):
     b, t, h = resid.shape
     inter_dim = w1.shape[1]
-    act_spec = pl.BlockSpec((1, t, h), lambda i: (i, 0, 0),
+    act_spec = pl.BlockSpec((group, t, h), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     h_vec = pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel, ln_position=ln_position,
                                ln_eps=ln_eps)
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // group,),
         in_specs=[
             act_spec,
             pl.BlockSpec((h, inter_dim), lambda i: (0, 0),
@@ -203,7 +205,7 @@ def _pallas_mlp_block(resid, w1, b1, w2, b2, ln_w, ln_b,
 
 @functools.lru_cache(maxsize=None)
 def _make_block_fn(ln_position: str, ln_eps: float, interpret: bool,
-                   quant: str = "none"):
+                   quant: str = "none", group: int = 1):
     xla = functools.partial(_xla_mlp_block, ln_position=ln_position,
                             ln_eps=ln_eps)
     pallas = _pallas_mlp_block_q if quant == "int8" else _pallas_mlp_block
@@ -212,7 +214,7 @@ def _make_block_fn(ln_position: str, ln_eps: float, interpret: bool,
     def block(resid, w1, b1, w2, b2, ln_w, ln_b):
         return pallas(resid, w1, b1, w2, b2, ln_w, ln_b,
                       ln_position=ln_position, ln_eps=ln_eps,
-                      interpret=interpret)
+                      interpret=interpret, group=group)
 
     def fwd(*args):
         return block(*args), args
@@ -367,8 +369,8 @@ def _tiled_mlp(resid, w1_t, b1, w2_t, b2, ln_w, ln_b, ln_position, ln_eps,
     return out
 
 
-def _fits_vmem(resid, w1, quant: str = "none") -> bool:
-    t, h = resid.shape[-2], resid.shape[-1]
+def _fits_vmem(resid, w1, quant: str = "none", group: int = 1) -> bool:
+    t, h = resid.shape[-2] * group, resid.shape[-1]
     inter = w1.shape[0]
     itemsize = jnp.dtype(resid.dtype).itemsize
     w_item = 1 if quant == "int8" else itemsize  # int8 weights halve VMEM
@@ -391,13 +393,19 @@ def mlp_block(
     ln_position: str = "none",
     interpret: bool = False,
     quant: str = "none",
+    group: int = 1,
 ) -> jax.Array:
     """prologue: resid + MLP(LN(resid)); epilogue: LN(resid + MLP(resid));
     none: resid + MLP(resid).  When the weights exceed the VMEM budget, the
     intermediate dimension is split across chained separate-input kernels
     (valid because GELU is elementwise per intermediate unit); pathological
     shapes fall back to XLA.  quant="int8" switches the fused kernel to the
-    W8A8 serving path (forward only; the custom_vjp backward stays bf16)."""
+    W8A8 serving path (forward only; the custom_vjp backward stays bf16).
+    group: images per grid step — amortizes per-step overhead on NARROW
+    layers (e.g. the 96-dim LTT ladders) where per-image compute is tiny;
+    identical math (rows are independent).  Ignored unless it divides B."""
+    if group > 1 and resid.shape[0] % group != 0:
+        group = 1
     interpret = interpret or interpret_default()
     if ln is None:
         ln_w = jnp.ones((resid.shape[-1],), resid.dtype)
@@ -409,9 +417,9 @@ def mlp_block(
     args = (resid, w1.T.astype(resid.dtype), b1, w2.T.astype(resid.dtype),
             b2, ln_w, ln_b)
     if use_pallas:
-        if _fits_vmem(resid, w1, quant):
+        if _fits_vmem(resid, w1, quant, group):
             return _make_block_fn(ln_position, float(ln_eps), interpret,
-                                  quant)(*args)
+                                  quant, group)(*args)
         for n_tiles in (2, 4, 8):
             if w1.shape[0] % n_tiles == 0 and _fits_vmem(
                 resid, w1[: w1.shape[0] // n_tiles], quant

@@ -156,7 +156,7 @@ def main() -> None:
         "batch": batch,
         "int8": os.environ.get("AUTOGNOTHI_INT8"),
         "fused_min_hidden": os.environ.get("AUTOGNOTHI_FUSED_MIN_HIDDEN",
-                                           "128"),
+                                           "0 (default)"),
         "expl_per_sec": round(batch * ITERS / dt, 2),
         "warm_s": round(t_warm, 1),
     }

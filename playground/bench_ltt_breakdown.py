@@ -70,18 +70,52 @@ def main() -> None:
                           "expl_per_sec": round(b / dt, 1)}), flush=True)
         return us_img
 
+    from autognothi_tpu.models.ltt_vit import (
+        _cls_head,
+        ltt_vit_explainer_head,
+    )
+    from autognothi_tpu.models.vit import explainer_mlp_head
+
     trunk = jax.jit(lambda p, x: ltt_vit_backbone(p, cfg, x, mask, ())[0])
     one = jax.jit(lambda p, x: ltt_vit_backbone(p, cfg, x, mask, (0,))[1][0])
     two = jax.jit(lambda p, x: ltt_vit_backbone(p, cfg, x, mask, (0, 1))[1][1])
+
+    def bb_heads(p, x):
+        h, (srg_side, exp_side) = ltt_vit_backbone(p, cfg, x, mask, (0, 1))
+        return (_cls_head(p, h)
+                + _cls_head(p, srg_side, "s_attn_classifier")
+                + jnp.sum(exp_side.astype(jnp.float32), axis=(1, 2))[:, None])
+
+    def bb_headmlp(p, x):
+        h, (srg_side, exp_side) = ltt_vit_backbone(p, cfg, x, mask, (0, 1))
+        out = explainer_mlp_head(p, exp_side, prefix="s_explainer_mlp")
+        return jnp.sum(out.astype(jnp.float32)) + jnp.sum(
+            _cls_head(p, h)) + jnp.sum(_cls_head(p, srg_side,
+                                                 "s_attn_classifier"))
+
+    def bb_explhead(p, x):
+        h, (srg_side, exp_side) = ltt_vit_backbone(p, cfg, x, mask, (0, 1))
+        grand = _cls_head(p, srg_side, "s_attn_classifier")
+        attr = ltt_vit_explainer_head(
+            p, cfg, exp_side, mask, grand, p["surrogate_null"])
+        return jnp.sum(attr.astype(jnp.float32)) + jnp.sum(_cls_head(p, h))
+
     full = jax.jit(lambda p, x: fw_final(cfg, p, x)[1])
 
     t1 = timed("trunk_only", trunk, params, xs)
     t2 = timed("trunk_plus_1_ladder", one, params, xs)
     t3 = timed("trunk_plus_2_ladders", two, params, xs)
+    t3b = timed("plus_cls_heads", jax.jit(bb_heads), params, xs)
+    t3c = timed("plus_head_mlp_only", jax.jit(bb_headmlp), params, xs)
+    t3d = timed("plus_full_expl_head", jax.jit(bb_explhead), params, xs)
     t4 = timed("full_fw_final", full, params, xs)
     print(json.dumps({
         "ladder_us_per_img": round(t2 - t1, 1),
         "second_ladder_us_per_img": round(t3 - t2, 1),
+        "cls_heads_us": round(t3b - t3, 1),
+        "head_mlp_us": round(t3c - t3b, 1),
+        "expl_attn_plus_norm_us": round(t3d - t3c, 1),
+        "fwfinal_vs_explhead_us": round(t4 - t3d, 1),
         "head_us_per_img": round(t4 - t3, 1),
     }), flush=True)
 

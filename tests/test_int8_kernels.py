@@ -172,3 +172,42 @@ def test_int8_head_block_gradients():
     rel = float(jnp.max(jnp.abs(g_q - g_ref))) / (
         float(jnp.max(jnp.abs(g_ref))) + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_grouped_blocks_match_ungrouped():
+    """group>1 (images per grid step, the narrow-ladder amortization) is
+    numerically identical to the per-image grid."""
+    rng = np.random.RandomState(11)
+    b, t, h = 8, 6, 32
+    resid = jnp.asarray(rng.randn(b, t, h).astype(np.float32)) * 0.5
+    # non-uniform masks so cross-image leakage would be caught
+    mask = jnp.asarray((rng.rand(b, t) > 0.3).astype(np.float32))
+    ws = [jnp.asarray(rng.randn(h, h).astype(np.float32)) * 0.1
+          for _ in range(4)]
+    bs = [jnp.asarray(rng.randn(h).astype(np.float32)) * 0.1
+          for _ in range(4)]
+    weights = (ws[0], bs[0], ws[1], bs[1], ws[2], bs[2], ws[3], bs[3])
+    ln = (jnp.ones((h,)), jnp.zeros((h,)), 1e-12)
+    for quant in ("none", "int8"):
+        ref = attention_block(resid, mask, weights, 4, "mul",
+                              use_pallas=True, interpret=True, ln=ln,
+                              ln_position="prologue", quant=quant)
+        grp = attention_block(resid, mask, weights, 4, "mul",
+                              use_pallas=True, interpret=True, ln=ln,
+                              ln_position="prologue", quant=quant, group=4)
+        np.testing.assert_allclose(np.asarray(grp), np.asarray(ref),
+                                   atol=1e-5, err_msg=f"attn quant={quant}")
+
+    w1 = jnp.asarray(rng.randn(2 * h, h).astype(np.float32)) * 0.1
+    b1 = jnp.asarray(rng.randn(2 * h).astype(np.float32)) * 0.1
+    w2 = jnp.asarray(rng.randn(h, 2 * h).astype(np.float32)) * 0.1
+    b2 = jnp.asarray(rng.randn(h).astype(np.float32)) * 0.1
+    for quant in ("none", "int8"):
+        ref = mlp_block(resid, w1, b1, w2, b2, use_pallas=True,
+                        interpret=True, ln=ln, ln_position="prologue",
+                        quant=quant)
+        grp = mlp_block(resid, w1, b1, w2, b2, use_pallas=True,
+                        interpret=True, ln=ln, ln_position="prologue",
+                        quant=quant, group=4)
+        np.testing.assert_allclose(np.asarray(grp), np.asarray(ref),
+                                   atol=1e-5, err_msg=f"mlp quant={quant}")
