@@ -161,6 +161,30 @@ def additive_mask_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
     return bias[:, None, None, :]
 
 
+_PALLAS_OVERRIDE: list = []
+
+
+class pallas_override:
+    """Trace-time scope forcing pallas_mode() — same mechanics as
+    quant_override.  Used to pin a traced region to the XLA path ("0")
+    when its operands are GSPMD-sharded: a pallas_call under plain jit
+    with sharded operands is REPLICATED behind all-gathers (custom calls
+    have no partitioning rule; measured in tests/test_pallas_gspmd.py),
+    so multi-device regions must either run XLA (GSPMD partitions it
+    properly) or be wrapped in shard_map (parallel.mesh.sharded_serving_fn,
+    where the kernels stay on and run per-shard)."""
+
+    def __init__(self, mode: str):
+        self.mode = mode
+
+    def __enter__(self):
+        _PALLAS_OVERRIDE.append(self.mode)
+        return self
+
+    def __exit__(self, *exc):
+        _PALLAS_OVERRIDE.pop()
+
+
 def pallas_mode() -> str:
     """Pallas dispatch mode (AUTOGNOTHI_PALLAS, read per call at trace time):
     "auto" (default): the fused attention-block kernel on TPU platforms,
@@ -176,7 +200,10 @@ def pallas_mode() -> str:
     AUTOGNOTHI_PALLAS_INTERPRET=1 (the ops run their kernels in Pallas
     interpret mode) — this is how CI exercises the kernel dispatch path and
     the kernel x GSPMD composition on the virtual CPU mesh."""
-    flag = os.environ.get("AUTOGNOTHI_PALLAS", "auto")
+    if _PALLAS_OVERRIDE:
+        flag = _PALLAS_OVERRIDE[-1]
+    else:
+        flag = os.environ.get("AUTOGNOTHI_PALLAS", "auto")
     if flag == "0":
         return "0"
     from ..ops.flash_attention import pallas_available
@@ -195,12 +222,14 @@ def narrow_group(hidden: int, batch) -> int:
     96-dim ladders.  Their per-image compute is tiny, so the per-grid-step
     overhead dominates; batching G images per step amortizes it (identical
     math: projections batch over rows, attention stays per-image).
-    AUTOGNOTHI_NARROW_GROUP (trace-time, default 8; 1 disables).  Wide
-    layers always run one image per step (r2: the K=768 dot rate is
-    M-independent — grouping buys nothing there)."""
+    AUTOGNOTHI_NARROW_GROUP (trace-time, default 1 = off).  MEASURED (r3,
+    LTT breakdown): group=8 made the first ladder +107 us/img vs +90
+    ungrouped — the per-image grid pipelines better than a per-image loop
+    inside a bigger block; knob kept for other shapes.  Wide layers always
+    run one image per step (r2: the K=768 dot rate is M-independent)."""
     if hidden >= 128 or not isinstance(batch, int):
         return 1
-    g = max(1, int(os.environ.get("AUTOGNOTHI_NARROW_GROUP", "8")))
+    g = max(1, int(os.environ.get("AUTOGNOTHI_NARROW_GROUP", "1")))
     while g > 1 and batch % g != 0:
         g //= 2
     return g

@@ -209,6 +209,37 @@ def ltt_vit_backbone(
         jnp.zeros((b_sz, t, cfg.s_attn_hidden_size), dtype) for _ in branches
     ]
 
+    from .common import pallas_mode
+
+    dropout_off = deterministic or (
+        cfg.attention_probs_dropout_prob == 0.0
+        and cfg.hidden_dropout_prob == 0.0
+    )
+    use_ladder_kernel = (
+        pallas_mode() == "2" and dropout_off and len(branches) > 0
+    )
+
+    def _ladder_weights(maps, layers):
+        return {
+            "map_w": maps["weight"], "map_b": maps["bias"],
+            "ln1_w": layers["layernorm_before.weight"],
+            "ln1_b": layers["layernorm_before.bias"],
+            "wq": layers["attention.self.query.weight"],
+            "bq": layers["attention.self.query.bias"],
+            "wk": layers["attention.self.key.weight"],
+            "bk": layers["attention.self.key.bias"],
+            "wv": layers["attention.self.value.weight"],
+            "bv": layers["attention.self.value.bias"],
+            "wo": layers["attention.output.dense.weight"],
+            "bo": layers["attention.output.dense.bias"],
+            "ln2_w": layers["layernorm_after.weight"],
+            "ln2_b": layers["layernorm_after.bias"],
+            "w1": layers["intermediate.dense.weight"],
+            "b1": layers["intermediate.dense.bias"],
+            "w2": layers["output.dense.weight"],
+            "b2": layers["output.dense.bias"],
+        }
+
     def body(carry, xs):
         h, sides = carry
         layer_idx, main_layer, *side_parts = xs
@@ -219,6 +250,26 @@ def ltt_vit_backbone(
             main_layer, h, attention_mask, cfg.into(),
             has_ln1=True, deterministic=deterministic, rng=layer_rng,
         )
+        if use_ladder_kernel:
+            # whole ladder step (both branches) as ONE Pallas kernel:
+            # map + side attention + side MLP, h read once, full-width
+            # head-mask dots instead of head_dim=8 lane slices
+            # (ops/ladder_block.py — the 96-dim ladders measured
+            # ~90-107 us/img per branch through the generic kernels)
+            from ..ops.ladder_block import ladder_block
+
+            upds = ladder_block(
+                h, list(sides), attention_mask,
+                [_ladder_weights(m, l)
+                 for m, l in zip(side_parts[0::2], side_parts[1::2])],
+                cfg.num_attention_heads, "mul", True, cfg.layer_norm_eps,
+                use_pallas=True,
+            )
+            new_sides = [
+                jnp.where(layer_idx < active, upd, side)
+                for upd, side in zip(upds, sides)
+            ]
+            return (h, tuple(new_sides)), None
         # both branch maps as ONE dense (out-features concatenated): h is
         # read once instead of once per branch — <B, T, 768> re-reads are
         # real HBM time at serving batch sizes on this bandwidth-bound chip
@@ -372,6 +423,13 @@ def ltt_vit_surrogate_coalitions_fwd(
     side_cfg = cfg.side()
     side0 = jnp.zeros((b * m, t, cfg.s_attn_hidden_size), dtype)
 
+    from .common import pallas_mode
+
+    use_ladder_kernel = pallas_mode() == "2" and (
+        deterministic or (cfg.attention_probs_dropout_prob == 0.0
+                          and cfg.hidden_dropout_prob == 0.0)
+    )
+
     def body(carry, xs):
         h, side = carry
         main_layer, s_maps, s_layers = xs
@@ -379,6 +437,34 @@ def ltt_vit_surrogate_coalitions_fwd(
             main_layer, h, flat_masks, cfg.into(),
             has_ln1=True, deterministic=deterministic, rng=None,
         )
+        if use_ladder_kernel:
+            from ..ops.ladder_block import ladder_block
+
+            weights = {
+                "map_w": s_maps["weight"], "map_b": s_maps["bias"],
+                "ln1_w": s_layers["layernorm_before.weight"],
+                "ln1_b": s_layers["layernorm_before.bias"],
+                "wq": s_layers["attention.self.query.weight"],
+                "bq": s_layers["attention.self.query.bias"],
+                "wk": s_layers["attention.self.key.weight"],
+                "bk": s_layers["attention.self.key.bias"],
+                "wv": s_layers["attention.self.value.weight"],
+                "bv": s_layers["attention.self.value.bias"],
+                "wo": s_layers["attention.output.dense.weight"],
+                "bo": s_layers["attention.output.dense.bias"],
+                "ln2_w": s_layers["layernorm_after.weight"],
+                "ln2_b": s_layers["layernorm_after.bias"],
+                "w1": s_layers["intermediate.dense.weight"],
+                "b1": s_layers["intermediate.dense.bias"],
+                "w2": s_layers["output.dense.weight"],
+                "b2": s_layers["output.dense.bias"],
+            }
+            (side,) = ladder_block(
+                h, [side], flat_masks, [weights],
+                cfg.num_attention_heads, "mul", True, cfg.layer_norm_eps,
+                use_pallas=True,
+            )
+            return (h, side), None
         side = side + gelu(dense(h, s_maps["weight"], s_maps["bias"]))
         side = _vit_layer_body(
             s_layers, side, flat_masks, side_cfg,

@@ -139,38 +139,39 @@ def _heads_attention(q, k, v, mask_row, *, n_heads: int, mode: str):
 def _kernel(mask_ref, r_ref, wq_ref, bq_ref, wk_ref, bk_ref,
             wv_ref, bv_ref, wo_ref, bo_ref, lnw_ref, lnb_ref, o_ref,
             *, n_heads: int, mode: str, ln_position: str, ln_eps: float):
-    g, t, h = r_ref.shape  # g images per grid step (rows independent
-    # outside the per-image attention loop below)
-    resid = r_ref[...].reshape(g * t, h)
-    if ln_position == "prologue":
-        x = _ln32(resid, lnw_ref[0], lnb_ref[0], ln_eps)
-    else:
-        x = resid
+    # g images per grid step: a static per-image loop (a flat
+    # (g*t, h) reshape is an unsupported Mosaic shape cast when t is not
+    # sublane-aligned, e.g. T=197) — per-grid-step DMA/launch overhead
+    # amortizes over the group, which is what dominates narrow layers
+    g = r_ref.shape[0]
+    for i in range(g):
+        resid = r_ref[i]  # <T, H>
+        if ln_position == "prologue":
+            x = _ln32(resid, lnw_ref[0], lnb_ref[0], ln_eps)
+        else:
+            x = resid
 
-    def proj(w_ref, b_ref):
-        y = jax.lax.dot_general(
-            x, w_ref[...], (((1,), (0,)), ((), ())),
+        def proj(w_ref, b_ref, x=x):
+            y = jax.lax.dot_general(
+                x, w_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + b_ref[0].astype(jnp.float32)
+            return y.astype(x.dtype)
+
+        q = proj(wq_ref, bq_ref)  # <T, H>
+        k = proj(wk_ref, bk_ref)
+        v = proj(wv_ref, bv_ref)
+        ctx = _heads_attention(q, k, v, mask_ref[i, 0],
+                               n_heads=n_heads, mode=mode)
+
+        out = jax.lax.dot_general(
+            ctx, wo_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + b_ref[0].astype(jnp.float32)
-        return y.astype(x.dtype)
-
-    q = proj(wq_ref, bq_ref).reshape(g, t, h)
-    k = proj(wk_ref, bk_ref).reshape(g, t, h)
-    v = proj(wv_ref, bv_ref).reshape(g, t, h)
-    ctx = jnp.concatenate([
-        _heads_attention(q[i], k[i], v[i], mask_ref[i, 0],
-                         n_heads=n_heads, mode=mode)[None]
-        for i in range(g)
-    ], axis=0).reshape(g * t, h)
-
-    out = jax.lax.dot_general(
-        ctx, wo_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bo_ref[0].astype(jnp.float32)
-    out = resid + out.astype(resid.dtype)
-    if ln_position == "epilogue":
-        out = _ln32(out, lnw_ref[0], lnb_ref[0], ln_eps)
-    o_ref[...] = out.reshape(g, t, h).astype(o_ref.dtype)
+        ) + bo_ref[0].astype(jnp.float32)
+        out = resid + out.astype(resid.dtype)
+        if ln_position == "epilogue":
+            out = _ln32(out, lnw_ref[0], lnb_ref[0], ln_eps)
+        o_ref[i] = out.astype(o_ref.dtype)
 
 
 def _kernel_q(mask_ref, r_ref, wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
@@ -183,44 +184,42 @@ def _kernel_q(mask_ref, r_ref, wq_ref, sq_ref, bq_ref, wk_ref, sk_ref, bk_ref,
     FLOPs; quantizing them buys little and costs accuracy)."""
     from .mlp_block import _quant_rows
 
-    g, t, h = r_ref.shape
-    resid = r_ref[...].reshape(g * t, h)
-    if ln_position == "prologue":
-        x = _ln32(resid, lnw_ref[0], lnb_ref[0], ln_eps)
-    else:
-        x = resid
+    g = r_ref.shape[0]
+    for i in range(g):  # see _kernel: per-image loop, Mosaic-safe for any T
+        resid = r_ref[i]  # <T, H>
+        if ln_position == "prologue":
+            x = _ln32(resid, lnw_ref[0], lnb_ref[0], ln_eps)
+        else:
+            x = resid
 
-    xq, xs = _quant_rows(x.astype(jnp.float32))
+        xq, xs = _quant_rows(x.astype(jnp.float32))
 
-    def proj_q(w_ref, s_ref, b_ref):
+        def proj_q(w_ref, s_ref, b_ref, xq=xq, xs=xs, dtype=x.dtype):
+            acc = jax.lax.dot_general(
+                xq, w_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * xs * s_ref[0] \
+                + b_ref[0].astype(jnp.float32)
+            return y.astype(dtype)
+
+        q = proj_q(wq_ref, sq_ref, bq_ref)  # <T, H>
+        k = proj_q(wk_ref, sk_ref, bk_ref)
+        v = proj_q(wv_ref, sv_ref, bv_ref)
+        ctx = _heads_attention(q, k, v, mask_ref[i, 0],
+                               n_heads=n_heads, mode=mode)
+
+        cq, cs = _quant_rows(ctx.astype(jnp.float32))
         acc = jax.lax.dot_general(
-            xq, w_ref[...], (((1,), (0,)), ((), ())),
+            cq, wo_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        y = acc.astype(jnp.float32) * xs * s_ref[0] \
-            + b_ref[0].astype(jnp.float32)
-        return y.astype(x.dtype)
-
-    q = proj_q(wq_ref, sq_ref, bq_ref).reshape(g, t, h)
-    k = proj_q(wk_ref, sk_ref, bk_ref).reshape(g, t, h)
-    v = proj_q(wv_ref, sv_ref, bv_ref).reshape(g, t, h)
-    ctx = jnp.concatenate([
-        _heads_attention(q[i], k[i], v[i], mask_ref[i, 0],
-                         n_heads=n_heads, mode=mode)[None]
-        for i in range(g)
-    ], axis=0).reshape(g * t, h)
-
-    cq, cs = _quant_rows(ctx.astype(jnp.float32))
-    acc = jax.lax.dot_general(
-        cq, wo_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    out = acc.astype(jnp.float32) * cs * so_ref[0] \
-        + bo_ref[0].astype(jnp.float32)
-    out = resid + out.astype(resid.dtype)
-    if ln_position == "epilogue":
-        out = _ln32(out, lnw_ref[0], lnb_ref[0], ln_eps)
-    o_ref[...] = out.reshape(g, t, h).astype(o_ref.dtype)
+        out = acc.astype(jnp.float32) * cs * so_ref[0] \
+            + bo_ref[0].astype(jnp.float32)
+        out = resid + out.astype(resid.dtype)
+        if ln_position == "epilogue":
+            out = _ln32(out, lnw_ref[0], lnb_ref[0], ln_eps)
+        o_ref[i] = out.astype(o_ref.dtype)
 
 
 def _pallas_attention_block_q(

@@ -89,25 +89,28 @@ def _xla_mlp_block(resid, w1, b1, w2, b2, ln_w, ln_b,
 
 def _kernel(r_ref, w1_ref, b1_ref, w2_ref, b2_ref, lnw_ref, lnb_ref, o_ref,
             *, ln_position: str, ln_eps: float):
-    g, t, h = r_ref.shape
-    resid = r_ref[...].reshape(g * t, h)  # rows are independent
-    if ln_position == "prologue":
-        x = _ln32(resid, lnw_ref[0], lnb_ref[0], ln_eps)
-    else:
-        x = resid
-    inter = jax.lax.dot_general(
-        x, w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1_ref[0].astype(jnp.float32)
-    inter = _gelu_exact(inter).astype(x.dtype)
-    out = jax.lax.dot_general(
-        inter, w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b2_ref[0].astype(jnp.float32)
-    out = resid + out.astype(resid.dtype)
-    if ln_position == "epilogue":
-        out = _ln32(out, lnw_ref[0], lnb_ref[0], ln_eps)
-    o_ref[...] = out.reshape(g, t, h).astype(o_ref.dtype)
+    # per-image loop: a flat (g*t, h) reshape is an unsupported Mosaic
+    # shape cast when t is not sublane-aligned (e.g. T=197)
+    g = r_ref.shape[0]
+    for i in range(g):
+        resid = r_ref[i]  # <T, H>
+        if ln_position == "prologue":
+            x = _ln32(resid, lnw_ref[0], lnb_ref[0], ln_eps)
+        else:
+            x = resid
+        inter = jax.lax.dot_general(
+            x, w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1_ref[0].astype(jnp.float32)
+        inter = _gelu_exact(inter).astype(x.dtype)
+        out = jax.lax.dot_general(
+            inter, w2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[0].astype(jnp.float32)
+        out = resid + out.astype(resid.dtype)
+        if ln_position == "epilogue":
+            out = _ln32(out, lnw_ref[0], lnb_ref[0], ln_eps)
+        o_ref[i] = out.astype(o_ref.dtype)
 
 
 def _kernel_q(r_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
@@ -115,31 +118,32 @@ def _kernel_q(r_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     """W8A8 variant: int8 weights (per-out-channel scales) + dynamic
     per-token activation quantization; both dots run on the int8 MXU path
     (~1.8x bf16 on this chip, playground/bench_int8.py)."""
-    g, t, h = r_ref.shape
-    resid = r_ref[...].reshape(g * t, h)  # rows are independent
-    if ln_position == "prologue":
-        x = _ln32(resid, lnw_ref[0], lnb_ref[0], ln_eps)
-    else:
-        x = resid
-    xq, xs = _quant_rows(x.astype(jnp.float32))
-    acc = jax.lax.dot_general(
-        xq, w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    inter = acc.astype(jnp.float32) * xs * s1_ref[0] \
-        + b1_ref[0].astype(jnp.float32)
-    inter = _gelu_exact(inter)
-    iq, is_ = _quant_rows(inter)
-    acc2 = jax.lax.dot_general(
-        iq, w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    out = acc2.astype(jnp.float32) * is_ * s2_ref[0] \
-        + b2_ref[0].astype(jnp.float32)
-    out = resid + out.astype(resid.dtype)
-    if ln_position == "epilogue":
-        out = _ln32(out, lnw_ref[0], lnb_ref[0], ln_eps)
-    o_ref[...] = out.reshape(g, t, h).astype(o_ref.dtype)
+    g = r_ref.shape[0]
+    for i in range(g):  # per-image loop (Mosaic-safe for any T)
+        resid = r_ref[i]  # <T, H>
+        if ln_position == "prologue":
+            x = _ln32(resid, lnw_ref[0], lnb_ref[0], ln_eps)
+        else:
+            x = resid
+        xq, xs = _quant_rows(x.astype(jnp.float32))
+        acc = jax.lax.dot_general(
+            xq, w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        inter = acc.astype(jnp.float32) * xs * s1_ref[0] \
+            + b1_ref[0].astype(jnp.float32)
+        inter = _gelu_exact(inter)
+        iq, is_ = _quant_rows(inter)
+        acc2 = jax.lax.dot_general(
+            iq, w2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = acc2.astype(jnp.float32) * is_ * s2_ref[0] \
+            + b2_ref[0].astype(jnp.float32)
+        out = resid + out.astype(resid.dtype)
+        if ln_position == "epilogue":
+            out = _ln32(out, lnw_ref[0], lnb_ref[0], ln_eps)
+        o_ref[i] = out.astype(o_ref.dtype)
 
 
 def _pallas_mlp_block_q(resid, w1, b1, w2, b2, ln_w, ln_b,

@@ -24,6 +24,7 @@ loop (/root/reference/scripts/train_explainer.py:148-206).
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Any, Callable
 
@@ -31,9 +32,19 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.common import quant_override
+from ..models.common import pallas_override, quant_override
 from ..ops.shapley import loss_shapley, mask_shapley
 from ..recipes.types import ModelRecipe, Params, surrogate_coalition_values
+
+
+def _mesh_safe_pallas():
+    """Multi-device steps pin their traced model regions to the XLA path:
+    GSPMD partitions XLA ops along the data mesh, but a pallas_call would
+    run REPLICATED behind all-gathers (models.common.pallas_override /
+    tests/test_pallas_gspmd.py).  Single device keeps the fused kernels."""
+    if len(jax.devices()) > 1:
+        return pallas_override("0")
+    return contextlib.nullcontext()
 
 
 def _ltt_kwargs(recipe: ModelRecipe, ltt_active):
@@ -57,7 +68,7 @@ def _make_teacher(
     def teacher(srg_params: Params, xs, masks_bmp):
         b = masks_bmp.shape[0]
         mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
-        with quant_override(_teacher_quant()):
+        with _mesh_safe_pallas(), quant_override(_teacher_quant()):
             v_s = surrogate_coalition_values(
                 recipe, m_config, srg_params, xs, masks_bmp
             )
@@ -87,7 +98,8 @@ def make_explainer_train_step(
                 weights):
         b = masks_bmp.shape[0]
         mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
-        with quant_override("none"):  # differentiated fwd stays bf16
+        with _mesh_safe_pallas(), quant_override("none"):
+            # differentiated fwd stays bf16
             phi, _ = recipe.fw_explainer(
                 m_config, params, xs, mask_1, v_1, v_0,
                 deterministic=False, rng=rng,
@@ -138,10 +150,11 @@ def make_explainer_eval_step(
         masks = masks.reshape(b, n_mask_samples, n_players)
         v_s, v_1 = teacher(srg_params, xs, masks)
         mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
-        phi, _ = recipe.fw_explainer(
-            m_config, params, xs, mask_1, v_1, surrogate_null,
-            **_ltt_kwargs(recipe, ltt_active),
-        )
+        with _mesh_safe_pallas():
+            phi, _ = recipe.fw_explainer(
+                m_config, params, xs, mask_1, v_1, surrogate_null,
+                **_ltt_kwargs(recipe, ltt_active),
+            )
         return loss_shapley(masks, surrogate_null, v_s, v_1, phi, weights)
 
     return eval_step

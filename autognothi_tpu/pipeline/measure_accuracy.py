@@ -48,13 +48,16 @@ def measure_accuracy(
     # embarrassingly parallel over the batch (SURVEY §2.9): params
     # replicated, batch sharded along the data mesh — identical math
     from ..parallel.mesh import setup_data_parallel
+    from .training import mesh_safe_pallas
 
-    _, place_params, place_batch = setup_data_parallel()
+    mesh, place_params, place_batch = setup_data_parallel()
     srg_params = place_params(srg_params)
 
-    fwd = jax.jit(
-        lambda p, xs, mask: recipe.fw_surrogate(m_config, p, xs, mask)[0]
-    )
+    def _fwd(p, xs, mask):
+        with mesh_safe_pallas(mesh):
+            return recipe.fw_surrogate(m_config, p, xs, mask)[0]
+
+    fwd = jax.jit(_fwd)
 
     env.log("[[[ measuring surrogate... ]]]")
     all_masked = np.linspace(0, n_players, config.eval_accuracy.resolution,

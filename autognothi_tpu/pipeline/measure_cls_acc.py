@@ -60,10 +60,15 @@ def measure_cls_acc(
     # embarrassingly parallel over the batch (SURVEY §2.9): params
     # replicated, batch sharded along the data mesh — identical math
     from ..parallel.mesh import setup_data_parallel
+    from .training import mesh_safe_pallas
 
-    _, place_params, place_batch = setup_data_parallel()
+    mesh, place_params, place_batch = setup_data_parallel()
 
-    fw_final = jax.jit(lambda p, xs: recipe.fw_final(m_config, p, xs)[0])
+    def _fw_final(p, xs):
+        with mesh_safe_pallas(mesh):
+            return recipe.fw_final(m_config, p, xs)[0]
+
+    fw_final = jax.jit(_fw_final)
 
     env.log("[[[ measuring explainers... ]]]")
     all_epochs: List[int] = []

@@ -139,7 +139,13 @@ def measure_faithfulness(
         if mesh is not None:
             flat = jax.lax.with_sharding_constraint(
                 flat, NamedSharding(mesh, P(None, "data", None)))
-        probs = surrogate_coalition_values(recipe, m_config, srg_p, xs, flat)
+        # sharded region: XLA path (GSPMD partitions it; a pallas_call
+        # would replicate behind all-gathers — pipeline.training helper)
+        from .training import mesh_safe_pallas
+
+        with mesh_safe_pallas(mesh):
+            probs = surrogate_coalition_values(recipe, m_config, srg_p, xs,
+                                               flat)
         probs = probs.reshape(padded, -1)[:total]
         probs = probs.reshape(n_classes, steps, -1)
         cls_idx = jnp.arange(n_classes)

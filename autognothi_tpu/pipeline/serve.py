@@ -39,20 +39,23 @@ class ExplainService:
         # "data" (the same placement the trainers and eval reports use).
         # The compiled batch is rounded up to a mesh multiple so every slab
         # shards evenly — requests are padded to it anyway.
-        from ..parallel.mesh import setup_data_parallel
+        from ..parallel.mesh import setup_data_parallel, sharded_serving_fn
 
         mesh, place_params, place_batch = setup_data_parallel()
+        fw = lambda p, xs: self.recipe.fw_final(self.m_config, p, xs)  # noqa: E731
         if mesh is not None:
             n = mesh.devices.size
             batch_size = ((batch_size + n - 1) // n) * n
             env.log(f"[[[ serving sharded over {n} devices "
                     f"(batch {batch_size}) ]]]")
             self.final_params = place_params(self.final_params)
+            # shard_map (not plain GSPMD jit): the fused Pallas kernels
+            # would otherwise run replicated behind all-gathers
+            self._fw = sharded_serving_fn(fw, mesh)
+        else:
+            self._fw = jax.jit(fw)
         self.batch_size = batch_size
         self._place_batch = place_batch
-        self._fw = jax.jit(
-            lambda p, xs: self.recipe.fw_final(self.m_config, p, xs)
-        )
 
     def warmup(self) -> None:
         null = np.repeat(

@@ -36,7 +36,8 @@ import time
 
 A100_TORCH_EST_EXPL_PER_SEC = 450.0
 TORCH_CPU_MEASURED_EXPL_PER_SEC = 0.932   # vanilla fw_final, perf_anchor.py
-TORCH_CPU_MEASURED_LTT_EXPL_PER_SEC = 2.44  # LTT fw_final, perf_anchor.py
+TORCH_CPU_MEASURED_LTT_EXPL_PER_SEC = 2.347  # LTT fw_final, perf_anchor.py
+# (426.1 ms/expl batch-1, torch eager, 1 CPU core, same-host measured r3)
 
 WARMUP = 3
 ITERS = 10
@@ -74,17 +75,24 @@ def _bench_model(model: str) -> None:
 
     # when >1 device is visible the serving batch shards along "data" and
     # params replicate (identity placements on one chip) — the same
-    # deployment layout pipeline/serve.py uses
-    from autognothi_tpu.parallel.mesh import setup_data_parallel
+    # deployment layout pipeline/serve.py uses.  shard_map, not plain GSPMD
+    # jit: the fused kernels would otherwise replicate behind all-gathers.
+    from autognothi_tpu.parallel.mesh import (
+        setup_data_parallel,
+        sharded_serving_fn,
+    )
 
     mesh, place_params, place_batch = setup_data_parallel()
-    if mesh is not None:
-        params = place_params(params)
 
-    @jax.jit
-    def run(p, xs):
+    def fw(p, xs):
         probs, attr = fw_final(cfg, p, xs.astype(jnp.bfloat16))
         return probs.astype(jnp.float32), attr.astype(jnp.float32)
+
+    if mesh is not None:
+        params = place_params(params)
+        run = sharded_serving_fn(fw, mesh)
+    else:
+        run = jax.jit(fw)
 
     xs = place_batch(
         jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 224, 224)))

@@ -11,9 +11,9 @@ This protocol resolves small effects:
 - ≥30 rounds, median-of-rounds + percentile bootstrap CI on the slope,
   the intercept (embed + dispatch), and each N's median.
 
-Per-layer dot-rate ceiling for comparison: one BERT-base layer @T=512,B=8
+Per-layer dot-rate ceiling for comparison: one BERT-base layer @T=512
 = QKV+proj (4*T*768^2*2) + scores/PV (2*2*T^2*768) + MLP (2*T*768*3072*2)
-~ 12.9 GF/img ... printed against the measured slope.
+~ 8.05 GF/seq; the script prints the implied TFLOP/s of the measured slope.
 
     python playground/bench_bert_stats.py [--rounds 30] [--iters 3]
 """

@@ -94,6 +94,10 @@ def run_reference(track: str, exp: pathlib.Path) -> dict:
     device = torch.device("cpu")
     if not torch.cuda.is_available():
         torch.cuda.synchronize = lambda *a, **k: None
+    if track == "ltt_vit":
+        # the reference's ltt_vit conv chain has a missing-rule bug
+        # (reference_run.install_ltt_vit_conv_fix docstring)
+        ref.install_ltt_vit_conv_fix()
     if not (exp / ".hparams.json").exists():
         params, kind = TRACKS[track]
         if _is_vit(track):

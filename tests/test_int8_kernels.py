@@ -211,3 +211,81 @@ def test_grouped_blocks_match_ungrouped():
                         quant=quant, group=4)
         np.testing.assert_allclose(np.asarray(grp), np.asarray(ref),
                                    atol=1e-5, err_msg=f"mlp quant={quant}")
+
+
+def test_ladder_block_matches_xla():
+    """The fused LTT ladder kernel (map + narrow attention via the
+    head-mask trick + MLP, both branches in one launch) equals the XLA
+    reference for both mask modes and norm orders."""
+    from autognothi_tpu.ops.ladder_block import ladder_block
+
+    rng = np.random.RandomState(5)
+    b, t, hidden, s_h, heads = 3, 7, 32, 16, 4
+
+    def mk_branch():
+        return {
+            "map_w": jnp.asarray(rng.randn(s_h, hidden), jnp.float32) * 0.1,
+            "map_b": jnp.asarray(rng.randn(s_h), jnp.float32) * 0.1,
+            "ln1_w": jnp.ones((s_h,)) + 0.1, "ln1_b": jnp.zeros((s_h,)),
+            "wq": jnp.asarray(rng.randn(s_h, s_h), jnp.float32) * 0.2,
+            "bq": jnp.asarray(rng.randn(s_h), jnp.float32) * 0.1,
+            "wk": jnp.asarray(rng.randn(s_h, s_h), jnp.float32) * 0.2,
+            "bk": jnp.asarray(rng.randn(s_h), jnp.float32) * 0.1,
+            "wv": jnp.asarray(rng.randn(s_h, s_h), jnp.float32) * 0.2,
+            "bv": jnp.asarray(rng.randn(s_h), jnp.float32) * 0.1,
+            "wo": jnp.asarray(rng.randn(s_h, s_h), jnp.float32) * 0.2,
+            "bo": jnp.asarray(rng.randn(s_h), jnp.float32) * 0.1,
+            "ln2_w": jnp.ones((s_h,)) - 0.05, "ln2_b": jnp.zeros((s_h,)),
+            "w1": jnp.asarray(rng.randn(2 * s_h, s_h), jnp.float32) * 0.2,
+            "b1": jnp.asarray(rng.randn(2 * s_h), jnp.float32) * 0.1,
+            "w2": jnp.asarray(rng.randn(s_h, 2 * s_h), jnp.float32) * 0.2,
+            "b2": jnp.asarray(rng.randn(s_h), jnp.float32) * 0.1,
+        }
+
+    h = jnp.asarray(rng.randn(b, t, hidden), jnp.float32) * 0.5
+    sides = [jnp.asarray(rng.randn(b, t, s_h), jnp.float32) * 0.5
+             for _ in range(2)]
+    branches = [mk_branch(), mk_branch()]
+    mask_mul = jnp.asarray((rng.rand(b, t) > 0.3).astype(np.float32))
+    mask_add = jnp.where(mask_mul > 0, 0.0, -1e9)
+    for mode, mask, pre in (("mul", mask_mul, True), ("add", mask_add, False)):
+        ref = ladder_block(h, sides, mask, branches, heads, mode, pre,
+                           1e-12, use_pallas=False)
+        out = ladder_block(h, sides, mask, branches, heads, mode, pre,
+                           1e-12, use_pallas=True, interpret=True)
+        for s in range(2):
+            np.testing.assert_allclose(
+                np.asarray(out[s]), np.asarray(ref[s]), atol=2e-5,
+                err_msg=f"mode={mode} branch={s}")
+
+
+def test_ladder_block_gradients_finite():
+    from autognothi_tpu.ops.ladder_block import ladder_block
+
+    rng = np.random.RandomState(6)
+    b, t, hidden, s_h = 2, 5, 16, 8
+    br = {
+        "map_w": jnp.asarray(rng.randn(s_h, hidden), jnp.float32) * 0.1,
+        "map_b": jnp.zeros((s_h,)),
+        "ln1_w": jnp.ones((s_h,)), "ln1_b": jnp.zeros((s_h,)),
+        "wq": jnp.eye(s_h) * 0.3, "bq": jnp.zeros((s_h,)),
+        "wk": jnp.eye(s_h) * 0.3, "bk": jnp.zeros((s_h,)),
+        "wv": jnp.eye(s_h) * 0.3, "bv": jnp.zeros((s_h,)),
+        "wo": jnp.eye(s_h) * 0.3, "bo": jnp.zeros((s_h,)),
+        "ln2_w": jnp.ones((s_h,)), "ln2_b": jnp.zeros((s_h,)),
+        "w1": jnp.asarray(rng.randn(s_h, s_h), jnp.float32) * 0.2,
+        "b1": jnp.zeros((s_h,)),
+        "w2": jnp.asarray(rng.randn(s_h, s_h), jnp.float32) * 0.2,
+        "b2": jnp.zeros((s_h,)),
+    }
+    h = jnp.asarray(rng.randn(b, t, hidden), jnp.float32)
+    side = jnp.asarray(rng.randn(b, t, s_h), jnp.float32)
+    mask = jnp.ones((b, t))
+
+    def loss(hh):
+        (out,) = ladder_block(hh, [side], mask, [br], 2, "mul", True,
+                              1e-12, use_pallas=True, interpret=True)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(h)
+    assert np.isfinite(np.asarray(g)).all()

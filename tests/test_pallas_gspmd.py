@@ -1,13 +1,18 @@
-"""Pallas x GSPMD composition: the fused block kernels (interpret mode on
-the virtual CPU mesh) must compile and run correctly when their batch is
-sharded along the "data" mesh axis — the exact combination a v5e-8 serving
+"""Pallas x GSPMD composition — the exact combination a v5e-8 serving
 deployment runs (VERDICT r2 weak #5).
 
+FINDING (r3): under plain GSPMD jit, a pallas_call whose operands carry
+NamedSharding is numerically CORRECT but REPLICATED — GSPMD all-gathers the
+sharded operands and every device runs the full batch (custom calls have no
+partitioning rule).  `test_plain_jit_replicates_pallas` pins that behavior.
+The scaling path is `parallel.mesh.sharded_serving_fn` (shard_map): each
+device traces the kernels on its local shard — zero all-gathers, sharded
+outputs, identical numerics (`test_shard_map_serving_partitions`).  serve.py,
+bench.py and the multichip dryrun all route through it.
+
 The kernels run through the Pallas interpreter on CPU (numerics identical
-modulo the in-kernel erf approximation), but the GSPMD partitioning logic
-exercised is the same code path as on hardware: jit sees a pallas_call whose
-operands carry NamedSharding, and must partition or replicate it without
-miscompiling."""
+modulo the in-kernel erf approximation); the partitioning logic exercised is
+the same code path as on hardware."""
 
 import jax
 import jax.numpy as jnp
@@ -142,3 +147,63 @@ def test_ltt_kernel_path_under_mesh(monkeypatch):
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(attr), np.asarray(ref_attr),
                                atol=5e-4)
+
+
+def _mini_cfg_and_params():
+    from autognothi_tpu.models.vit import VanillaViTConfig, init_vit_final
+
+    cfg = VanillaViTConfig(
+        attention_probs_dropout_prob=0.0, explainer_attn_num_layers=1,
+        explainer_head_hidden_size=16, explainer_normalize=True,
+        hidden_dropout_prob=0.0, hidden_size=32, intermediate_size=64,
+        layer_norm_eps=1e-12, num_attention_heads=4, num_hidden_layers=2,
+        num_labels=3, img_channels=3, img_px_size=16, img_patch_size=8,
+    )
+    return cfg, init_vit_final(jax.random.PRNGKey(0), cfg)
+
+
+def test_plain_jit_replicates_pallas(monkeypatch):
+    """Documents the discovery: plain jit + sharded operands + pallas_call
+    = all-gathers and a fully replicated computation (correct, unscalable)."""
+    monkeypatch.setenv("AUTOGNOTHI_PALLAS", "2")
+    monkeypatch.setenv("AUTOGNOTHI_PALLAS_INTERPRET", "1")
+    mesh = make_mesh(8, model_parallel=1)
+    resid = jnp.asarray(RNG.randn(B, T, H).astype(np.float32)) * 0.5
+    mask = jnp.ones((B, T))
+    fn = jax.jit(_block_fn(use_pallas=True))
+    rs = jax.device_put(resid, NamedSharding(mesh, P("data", None, None)))
+    ms = jax.device_put(mask, NamedSharding(mesh, P("data", None)))
+    with mesh:
+        hlo = fn.lower(rs, ms).compile().as_text()
+        out = fn(rs, ms)
+    assert "all-gather" in hlo  # operands gathered -> replicated run
+    assert out.sharding.spec == P()  # output replicated
+
+
+def test_shard_map_serving_partitions(monkeypatch):
+    """The deployment wrapper (sharded_serving_fn): zero all-gathers,
+    outputs stay sharded along "data", numerics identical to the same
+    configuration unsharded."""
+    from autognothi_tpu.parallel.mesh import shard_batch, sharded_serving_fn
+    from autognothi_tpu.recipes.vanilla_vit import fw_final
+
+    monkeypatch.setenv("AUTOGNOTHI_PALLAS", "2")
+    monkeypatch.setenv("AUTOGNOTHI_PALLAS_INTERPRET", "1")
+    cfg, params = _mini_cfg_and_params()
+    xs = jnp.asarray(RNG.randn(16, 3, 16, 16).astype(np.float32))
+    ref = jax.jit(lambda p, x: fw_final(cfg, p, x))(params, xs)
+
+    mesh = make_mesh(8, model_parallel=1)
+    fw = sharded_serving_fn(lambda p, x: fw_final(cfg, p, x), mesh)
+    with mesh:
+        p_r = replicate_params(params, mesh)
+        xs_s = shard_batch(xs, mesh)
+        hlo = fw.lower(p_r, xs_s).compile().as_text()
+        probs, attr = fw(p_r, xs_s)
+    assert "all-gather" not in hlo
+    assert probs.sharding.spec == P("data")
+    assert attr.sharding.spec == P("data")
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(attr), np.asarray(ref[1]),
+                               atol=1e-5)
