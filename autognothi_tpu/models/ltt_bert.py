@@ -216,6 +216,38 @@ def ltt_bert_encoder(
         jnp.zeros((b_sz, t, cfg.s_attn_hidden_size), dtype) for _ in branches
     ]
 
+    from .common import pallas_mode
+
+    dropout_off = deterministic or (
+        cfg.attention_probs_dropout_prob == 0.0
+        and cfg.hidden_dropout_prob == 0.0
+    )
+    use_ladder_kernel = (
+        pallas_mode() == "2" and dropout_off and len(branches) > 0
+    )
+
+    def _ladder_weights(maps, layers):
+        return {
+            "map_w": maps["weight"], "map_b": maps["bias"],
+            # post-norm: ln1 = attention-output LN, ln2 = output LN
+            "ln1_w": layers["attention.output.LayerNorm.weight"],
+            "ln1_b": layers["attention.output.LayerNorm.bias"],
+            "wq": layers["attention.self.query.weight"],
+            "bq": layers["attention.self.query.bias"],
+            "wk": layers["attention.self.key.weight"],
+            "bk": layers["attention.self.key.bias"],
+            "wv": layers["attention.self.value.weight"],
+            "bv": layers["attention.self.value.bias"],
+            "wo": layers["attention.output.dense.weight"],
+            "bo": layers["attention.output.dense.bias"],
+            "ln2_w": layers["output.LayerNorm.weight"],
+            "ln2_b": layers["output.LayerNorm.bias"],
+            "w1": layers["intermediate.dense.weight"],
+            "b1": layers["intermediate.dense.bias"],
+            "w2": layers["output.dense.weight"],
+            "b2": layers["output.dense.bias"],
+        }
+
     def body(carry, xs):
         h, sides = carry
         layer_idx, main_layer, *side_parts = xs
@@ -224,6 +256,24 @@ def ltt_bert_encoder(
             main_layer, h, mask_bias, cfg.into(),
             ident_ln1=False, deterministic=deterministic, rng=layer_rng,
         )
+        if use_ladder_kernel:
+            # whole ladder step (all branches) in ONE Pallas kernel
+            # (ops/ladder_block.py): post-norm BERT side layers, additive
+            # mask, full-width head-mask dots
+            from ..ops.ladder_block import ladder_block
+
+            upds = ladder_block(
+                h, list(sides), mask_bias[:, 0, 0, :],
+                [_ladder_weights(m, l)
+                 for m, l in zip(side_parts[0::2], side_parts[1::2])],
+                cfg.num_attention_heads, "add", False, cfg.layer_norm_eps,
+                use_pallas=True,
+            )
+            new_sides = [
+                jnp.where(layer_idx < active, upd, side)
+                for upd, side in zip(upds, sides)
+            ]
+            return (h, tuple(new_sides)), None
         # both branch maps as ONE dense: h is read once, not once per
         # branch (mirrors ltt_vit — the <B, T, 768> re-read is HBM time)
         all_maps = side_parts[0::2]

@@ -240,12 +240,64 @@ def ltt_vit_backbone(
             "b2": layers["output.dense.bias"],
         }
 
+    from .common import quant_mode
+    from ..ops.ladder_block import mlp_ladder_fits_vmem
+
+    use_mlp_ladder = (
+        use_ladder_kernel and quant_mode() == "int8"
+        and mlp_ladder_fits_vmem(
+            cfg.hidden_size, cfg.intermediate_size,
+            (cfg.img_px_size // cfg.img_patch_size) ** 2 + 1,
+            cfg.s_attn_hidden_size, max(len(branches), 1))
+    )
+
     def body(carry, xs):
         h, sides = carry
         layer_idx, main_layer, *side_parts = xs
         layer_rng = (
             None if enc_rng is None else jax.random.fold_in(enc_rng, layer_idx)
         )
+        if use_mlp_ladder:
+            # deepest serving fusion: trunk attention kernel, then ONE
+            # kernel for [trunk int8 MLP + every ladder branch] — the
+            # trunk hidden never round-trips to HBM between them
+            from ..ops.attention_block import attention_block
+            from ..ops.ladder_block import mlp_ladder_block
+
+            h_attn = attention_block(
+                h, attention_mask,
+                (main_layer["attention.self.query.weight"],
+                 main_layer["attention.self.query.bias"],
+                 main_layer["attention.self.key.weight"],
+                 main_layer["attention.self.key.bias"],
+                 main_layer["attention.self.value.weight"],
+                 main_layer["attention.self.value.bias"],
+                 main_layer["attention.output.dense.weight"],
+                 main_layer["attention.output.dense.bias"]),
+                cfg.num_attention_heads, "mul", use_pallas=True,
+                ln=(main_layer["layernorm_before.weight"],
+                    main_layer["layernorm_before.bias"],
+                    cfg.layer_norm_eps),
+                ln_position="prologue", quant="int8",
+            )
+            h, *upds = mlp_ladder_block(
+                h_attn, list(sides), attention_mask,
+                {"w1": main_layer["intermediate.dense.weight"],
+                 "b1": main_layer["intermediate.dense.bias"],
+                 "w2": main_layer["output.dense.weight"],
+                 "b2": main_layer["output.dense.bias"],
+                 "ln_w": main_layer["layernorm_after.weight"],
+                 "ln_b": main_layer["layernorm_after.bias"]},
+                [_ladder_weights(m, l)
+                 for m, l in zip(side_parts[0::2], side_parts[1::2])],
+                cfg.num_attention_heads, "mul", cfg.layer_norm_eps,
+                use_pallas=True,
+            )
+            new_sides = [
+                jnp.where(layer_idx < active, upd, side)
+                for upd, side in zip(upds, sides)
+            ]
+            return (h, tuple(new_sides)), None
         h = _vit_layer_body(
             main_layer, h, attention_mask, cfg.into(),
             has_ln1=True, deterministic=deterministic, rng=layer_rng,

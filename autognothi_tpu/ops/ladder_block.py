@@ -218,6 +218,188 @@ def _make_ladder_fn(n_branches: int, n_heads: int, mode: str, pre_norm: bool,
     return ladder
 
 
+# ---------------------------------------------------------------------
+# trunk-MLP + ladder fusion: one kernel per layer computes the trunk's
+# int8 MLP block (pre-norm, residual) AND every ladder branch from the
+# fresh layer output — the <B, T, 768> hidden never round-trips to HBM
+# between the trunk MLP and the ladders, and one kernel launch replaces
+# two (serving path; r3 breakdown: ladders ~128 us/img of a 381 us
+# forward with ~16 us of pure h-DMA re-reads + per-launch overhead).
+
+
+def _xla_mlp_ladder(h_attn, mask_row, w1t, b1, w2t, b2, ln_w, ln_b, *flat,
+                    n_branches: int, n_heads: int, mode: str,
+                    ln_eps: float):
+    """Batched XLA reference: trunk pre-norm MLP then the ladder update."""
+    from .mlp_block import _xla_mlp_block
+
+    h = _xla_mlp_block(h_attn, w1t, b1, w2t, b2, ln_w, ln_b,
+                       ln_position="prologue", ln_eps=ln_eps)
+    outs = _xla_ladder(h, mask_row, *flat, n_branches=n_branches,
+                       n_heads=n_heads, mode=mode, pre_norm=True,
+                       ln_eps=ln_eps)
+    return (h, *outs)
+
+
+def _kernel_mlp_ladder_q(mask_ref, h_ref, w1_ref, s1_ref, b1_ref,
+                         w2_ref, s2_ref, b2_ref, lnw_ref, lnb_ref, *refs,
+                         n_branches: int, n_heads: int, mode: str,
+                         ln_eps: float):
+    from .mlp_block import _quant_rows
+
+    side_refs = refs[:n_branches]
+    h_out_ref = refs[-(n_branches + 1)]
+    out_refs = refs[-n_branches:]
+
+    resid = h_ref[0]  # <T, 768> attention-block output
+    x = _ln32(resid, lnw_ref[0], lnb_ref[0], ln_eps)
+    xq, xs = _quant_rows(x.astype(jnp.float32))
+    acc = jax.lax.dot_general(
+        xq, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    inter = _gelu_exact(acc.astype(jnp.float32) * xs * s1_ref[0]
+                        + b1_ref[0].astype(jnp.float32))
+    iq, is_ = _quant_rows(inter)
+    acc2 = jax.lax.dot_general(
+        iq, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc2.astype(jnp.float32) * is_ * s2_ref[0] \
+        + b2_ref[0].astype(jnp.float32)
+    h = resid + out.astype(resid.dtype)  # fresh trunk layer output
+    h_out_ref[0] = h.astype(h_out_ref.dtype)
+
+    mask_row = mask_ref[0, 0]
+    for s in range(n_branches):
+        args = tuple(
+            r[0] if r.shape[0] == 1 else r[...]
+            for r in refs[n_branches + s * N_BRANCH_ARGS:
+                          n_branches + (s + 1) * N_BRANCH_ARGS]
+        )
+        upd = _branch_math(
+            h, side_refs[s][0], mask_row, args, n_heads=n_heads, mode=mode,
+            pre_norm=True, ln_eps=ln_eps, gelu=_gelu_exact,
+        )
+        out_refs[s][0] = upd.astype(out_refs[s].dtype)
+
+
+def _pallas_mlp_ladder_q(h_attn, mask_row, w1t, b1, w2t, b2, ln_w, ln_b,
+                         *flat, n_branches: int, n_heads: int, mode: str,
+                         ln_eps: float, interpret: bool):
+    from .mlp_block import quant_cols
+
+    b, t, hidden = h_attn.shape
+    s_hidden = flat[0].shape[-1]
+    mask3 = mask_row.astype(jnp.float32)[:, None, :]
+    w1_q, s1 = quant_cols(w1t)
+    w2_q, s2 = quant_cols(w2t)
+
+    h_spec = pl.BlockSpec((1, t, hidden), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    side_spec = pl.BlockSpec((1, t, s_hidden), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def const(x):
+        shape = x.shape
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    sides = flat[:n_branches]
+    weights = tuple(w if w.ndim == 2 else w[None] for w in flat[n_branches:])
+    trunk = (w1_q, s1, b1[None], w2_q, s2, b2[None], ln_w[None], ln_b[None])
+
+    kernel = functools.partial(
+        _kernel_mlp_ladder_q, n_branches=n_branches, n_heads=n_heads,
+        mode=mode, ln_eps=ln_eps,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            h_spec,
+            *[const(w) for w in trunk],
+            *([side_spec] * n_branches),
+            *[const(w) for w in weights],
+        ],
+        out_specs=[h_spec] + [side_spec] * n_branches,
+        out_shape=[jax.ShapeDtypeStruct((b, t, hidden), h_attn.dtype)]
+        + [jax.ShapeDtypeStruct((b, t, s_hidden), sides[0].dtype)
+           for _ in range(n_branches)],
+        interpret=interpret,
+    )(mask3, h_attn, *trunk, *sides, *weights)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_mlp_ladder_fn(n_branches: int, n_heads: int, mode: str,
+                        ln_eps: float, interpret: bool):
+    xla = functools.partial(_xla_mlp_ladder, n_branches=n_branches,
+                            n_heads=n_heads, mode=mode, ln_eps=ln_eps)
+
+    @jax.custom_vjp
+    def fused(h_attn, mask_row, w1t, b1, w2t, b2, ln_w, ln_b, *flat):
+        return _pallas_mlp_ladder_q(
+            h_attn, mask_row, w1t, b1, w2t, b2, ln_w, ln_b, *flat,
+            n_branches=n_branches, n_heads=n_heads, mode=mode,
+            ln_eps=ln_eps, interpret=interpret)
+
+    def fwd(*args):
+        return fused(*args), args
+
+    def bwd(args, g):
+        _, vjp = jax.vjp(lambda *a: xla(*a), *args)
+        return vjp(g)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def mlp_ladder_fits_vmem(hidden: int, inter: int, t: int,
+                         s_hidden: int, n_branches: int) -> bool:
+    weights = 2 * hidden * inter  # int8 trunk MLP
+    weights += n_branches * 2 * (hidden * s_hidden + 4 * s_hidden * s_hidden
+                                 + 2 * s_hidden * 4 * s_hidden)
+    acts = (t * inter * (4 + 4 + 1)       # int32 acc + f32 inter + int8
+            + 4 * t * hidden * 2          # h blocks in/out + x copies
+            + t * hidden * 4              # f32 LN copy
+            + n_branches * 4 * t * s_hidden * 4
+            + t * t * 4)                  # one scores tile at a time
+    return weights + acts < 15 * 1024 * 1024
+
+
+def mlp_ladder_block(
+    h_attn: jax.Array,          # <B, T, hidden> trunk attention-block out
+    sides: Sequence[jax.Array],
+    mask_row: jax.Array,
+    trunk_mlp: dict,            # w1/b1/w2/b2 (torch layout) + ln_w/ln_b
+    branch_weights: Sequence[dict],
+    n_heads: int,
+    mode: str,
+    ln_eps: float,
+    use_pallas: bool,
+    interpret: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """-> (h_next, *updated_sides): trunk pre-norm int8 MLP block fused
+    with the full ladder step (W8A8 trunk dots; ladders bf16)."""
+    interpret = interpret or interpret_default()
+    dtype = h_attn.dtype
+    flat: list = [s for s in sides]
+    for w in branch_weights:
+        flat.extend(a.astype(dtype) for a in _flatten_branch(w))
+    trunk = (trunk_mlp["w1"].T.astype(dtype), trunk_mlp["b1"],
+             trunk_mlp["w2"].T.astype(dtype), trunk_mlp["b2"],
+             trunk_mlp["ln_w"], trunk_mlp["ln_b"])
+    if use_pallas:
+        return _make_mlp_ladder_fn(len(sides), n_heads, mode,
+                                   float(ln_eps), interpret)(
+            h_attn, mask_row, *trunk, *flat)
+    return _xla_mlp_ladder(h_attn, mask_row, *trunk, *flat,
+                           n_branches=len(sides), n_heads=n_heads,
+                           mode=mode, ln_eps=float(ln_eps))
+
+
 def _flatten_branch(w: dict) -> Tuple[jax.Array, ...]:
     """Per-branch dict (torch-layout weights) -> the N_BRANCH_ARGS tuple in
     (in, out) layout.  Keys: map_w/map_b + the _vit/_bert layer names."""

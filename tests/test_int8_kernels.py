@@ -289,3 +289,57 @@ def test_ladder_block_gradients_finite():
 
     g = jax.grad(loss)(h)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_mlp_ladder_block_matches_xla():
+    """The trunk-MLP + ladder fusion equals the XLA reference."""
+    from autognothi_tpu.ops.ladder_block import mlp_ladder_block
+
+    rng = np.random.RandomState(9)
+    b, t, hidden, inter, s_h, heads = 2, 6, 32, 64, 16, 4
+
+    def mk_branch():
+        return {
+            "map_w": jnp.asarray(rng.randn(s_h, hidden), jnp.float32) * 0.1,
+            "map_b": jnp.asarray(rng.randn(s_h), jnp.float32) * 0.1,
+            "ln1_w": jnp.ones((s_h,)) + 0.1, "ln1_b": jnp.zeros((s_h,)),
+            "wq": jnp.asarray(rng.randn(s_h, s_h), jnp.float32) * 0.2,
+            "bq": jnp.asarray(rng.randn(s_h), jnp.float32) * 0.1,
+            "wk": jnp.asarray(rng.randn(s_h, s_h), jnp.float32) * 0.2,
+            "bk": jnp.asarray(rng.randn(s_h), jnp.float32) * 0.1,
+            "wv": jnp.asarray(rng.randn(s_h, s_h), jnp.float32) * 0.2,
+            "bv": jnp.asarray(rng.randn(s_h), jnp.float32) * 0.1,
+            "wo": jnp.asarray(rng.randn(s_h, s_h), jnp.float32) * 0.2,
+            "bo": jnp.asarray(rng.randn(s_h), jnp.float32) * 0.1,
+            "ln2_w": jnp.ones((s_h,)) - 0.05, "ln2_b": jnp.zeros((s_h,)),
+            "w1": jnp.asarray(rng.randn(2 * s_h, s_h), jnp.float32) * 0.2,
+            "b1": jnp.asarray(rng.randn(2 * s_h), jnp.float32) * 0.1,
+            "w2": jnp.asarray(rng.randn(s_h, 2 * s_h), jnp.float32) * 0.2,
+            "b2": jnp.asarray(rng.randn(s_h), jnp.float32) * 0.1,
+        }
+
+    trunk = {
+        "w1": jnp.asarray(rng.randn(inter, hidden), jnp.float32) * 0.1,
+        "b1": jnp.asarray(rng.randn(inter), jnp.float32) * 0.1,
+        "w2": jnp.asarray(rng.randn(hidden, inter), jnp.float32) * 0.1,
+        "b2": jnp.asarray(rng.randn(hidden), jnp.float32) * 0.1,
+        "ln_w": jnp.ones((hidden,)) + 0.1, "ln_b": jnp.zeros((hidden,)),
+    }
+    h_attn = jnp.asarray(rng.randn(b, t, hidden), jnp.float32) * 0.5
+    sides = [jnp.asarray(rng.randn(b, t, s_h), jnp.float32) * 0.5
+             for _ in range(2)]
+    branches = [mk_branch(), mk_branch()]
+    mask = jnp.asarray((rng.rand(b, t) > 0.3).astype(np.float32))
+
+    ref = mlp_ladder_block(h_attn, sides, mask, trunk, branches, heads,
+                           "mul", 1e-12, use_pallas=False)
+    out = mlp_ladder_block(h_attn, sides, mask, trunk, branches, heads,
+                           "mul", 1e-12, use_pallas=True, interpret=True)
+    # trunk MLP runs W8A8 in the kernel vs bf16 in the reference: rel tol
+    rel = float(jnp.max(jnp.abs(out[0] - ref[0]))) / float(
+        jnp.max(jnp.abs(ref[0])))
+    assert rel < 0.02, rel
+    for s in range(2):
+        rel = float(jnp.max(jnp.abs(out[1 + s] - ref[1 + s]))) / float(
+            jnp.max(jnp.abs(ref[1 + s])))
+        assert rel < 0.05, (s, rel)
