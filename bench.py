@@ -8,9 +8,10 @@ path the reference measures in measure_performance.py:106-251.
 LTT is the reference's flagship method (the AutoGnothi paper's architecture,
 /root/reference/models/ltt_vit.py:407-440): ONE frozen-backbone traversal
 plus 96-dim side ladders yields logits AND attributions, ~37 GF/explanation
-vs the vanilla 3-tower final's ~107 GF.  The vanilla final is measured too
-and reported under `vanilla_expl_per_sec` (its r2 ceiling analysis lives in
-BASELINE.md).
+vs the vanilla 3-tower final's ~107 GF.  The vanilla final and the froyo
+final (the reference's single-trunk variant — fastest family member, no
+ladders) are measured too and reported under `{vanilla,froyo}_expl_per_sec`
+(ceiling analyses in BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
@@ -51,9 +52,10 @@ def _bench_model(model: str) -> None:
 
     from autognothi_tpu.models.common import cast_tree
 
-    # B=256 measured on the chip (vanilla r1 sweep: 1263@256 vs 1170@64,
-    # flat past 256; LTT r3 sweep: see playground/bench_ltt.py)
-    batch = int(os.environ.get("AUTOGNOTHI_BENCH_BATCH", "256"))
+    # batch knees measured on the chip: vanilla 256 (r1 sweep, flat past);
+    # LTT 384 (r3 sweep: 2475@128, 2586@256, 2623@384, 2629@512)
+    default_batch = "384" if model == "ltt" else "256"
+    batch = int(os.environ.get("AUTOGNOTHI_BENCH_BATCH", default_batch))
 
     if model == "ltt":
         from autognothi_tpu.models.ltt_vit import init_ltt_vit_final
@@ -62,6 +64,16 @@ def _bench_model(model: str) -> None:
 
         cfg = _flagship_ltt_cfg()
         params = init_ltt_vit_final(jax.random.PRNGKey(0), cfg)
+    elif model == "froyo":
+        from autognothi_tpu.models.froyo_vit import (
+            FroyoViTConfig,
+            init_froyo_vit_final,
+        )
+        from autognothi_tpu.recipes.froyo_vit import fw_final
+        from __graft_entry__ import _flagship_cfg
+
+        cfg = FroyoViTConfig(**_flagship_cfg().model_dump())
+        params = init_froyo_vit_final(jax.random.PRNGKey(0), cfg)
     else:
         from autognothi_tpu.models.vit import init_vit_final
         from autognothi_tpu.recipes.vanilla_vit import fw_final
@@ -138,13 +150,16 @@ def main() -> None:
 
     ltt = _run_child("ltt")
     extra = {}
-    try:
-        vanilla = _run_child("vanilla")
-        extra["vanilla_expl_per_sec"] = round(vanilla["expl_per_sec"], 2)
-        extra["vanilla_vs_baseline"] = round(
-            vanilla["expl_per_sec"] / A100_TORCH_EST_EXPL_PER_SEC, 3)
-    except Exception as exc:  # secondary metric must not sink the headline
-        extra["vanilla_error"] = str(exc)[:200]
+    for name in ("vanilla", "froyo"):
+        # froyo: the reference's single-trunk variant — the fastest family
+        # member (no ladders); vanilla: the r1/r2 3-tower headline
+        try:
+            res = _run_child(name)
+            extra[f"{name}_expl_per_sec"] = round(res["expl_per_sec"], 2)
+            extra[f"{name}_vs_baseline"] = round(
+                res["expl_per_sec"] / A100_TORCH_EST_EXPL_PER_SEC, 3)
+        except Exception as exc:  # secondary metrics must not sink the headline
+            extra[f"{name}_error"] = str(exc)[:200]
 
     value = ltt["expl_per_sec"]
     print(json.dumps({
