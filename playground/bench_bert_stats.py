@@ -35,8 +35,18 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=30)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batches", default="4,8,16,32")
+    ap.add_argument("--model", choices=["vanilla", "ltt", "froyo"],
+                    default="vanilla")
+    ap.add_argument("--sweep-batch", action="store_true",
+                    help="interleaved BATCH sweep at full depth instead of "
+                    "the depth sweep: settles whether the fixed per-call "
+                    "cost (~8.4 ms at B=8) amortizes or per-seq compute "
+                    "degrades with batch")
     args = ap.parse_args()
     os.environ.setdefault("AUTOGNOTHI_INT8", "1")
+    if args.sweep_batch:
+        return batch_sweep(args)
 
     import jax
     import jax.numpy as jnp
@@ -138,6 +148,90 @@ def main() -> None:
         "rounds": args.rounds,
         "int8": os.environ.get("AUTOGNOTHI_INT8"),
     }), flush=True)
+
+
+def batch_sweep(args) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from autognothi_tpu.models.bert import VanillaBertConfig, init_bert_final
+    from autognothi_tpu.models.common import cast_tree
+    from autognothi_tpu.recipes.vanilla_bert import fw_final
+
+    common = dict(
+        attention_probs_dropout_prob=0.0, explainer_normalize=True,
+        hidden_dropout_prob=0.0, hidden_size=768, intermediate_size=3072,
+        layer_norm_eps=1e-12, max_position_embeddings=512,
+        num_attention_heads=12, num_hidden_layers=12, num_labels=2,
+        pad_token_id=0, type_vocab_size=2, vocab_size=30522,
+    )
+    if args.model == "ltt":
+        from autognothi_tpu.models.ltt_bert import (
+            LttBertConfig, init_ltt_bert_final)
+        from autognothi_tpu.recipes.ltt_bert import fw_final as fw
+
+        cfg = LttBertConfig(explainer_s_attn_num_layers=1,
+                            explainer_s_head_hidden_size=3072,
+                            s_attn_hidden_size=96,
+                            s_attn_intermediate_size=384, **common)
+        params = init_ltt_bert_final(jax.random.PRNGKey(0), cfg)
+    elif args.model == "froyo":
+        from autognothi_tpu.models.froyo_bert import (
+            FroyoBertConfig, init_froyo_bert_final)
+        from autognothi_tpu.recipes.froyo_bert import fw_final as fw
+
+        cfg = FroyoBertConfig(explainer_attn_num_layers=1,
+                              explainer_head_hidden_size=3072, **common)
+        params = init_froyo_bert_final(jax.random.PRNGKey(0), cfg)
+    else:
+        cfg = VanillaBertConfig(explainer_attn_num_layers=1,
+                                explainer_head_hidden_size=3072, **common)
+        params = init_bert_final(jax.random.PRNGKey(0), cfg)
+        fw = fw_final
+    params = cast_tree(params, jnp.bfloat16)
+    batches = [int(b) for b in args.batches.split(",")]
+    run = jax.jit(lambda p, x: fw(cfg, p, x)[0])
+    inputs = {
+        b: jax.random.randint(jax.random.PRNGKey(1), (b, 512), 1,
+                              cfg.vocab_size)
+        for b in batches
+    }
+
+    def fence(x):
+        return float(np.asarray(jnp.sum(x.astype(jnp.float32))))
+
+    for _ in range(8):  # warm each executable past the tunnel ramp
+        for b in batches:
+            out = run(params, inputs[b])
+    fence(out)
+
+    times = {b: [] for b in batches}
+    for _ in range(args.rounds):
+        for b in batches:  # interleaved
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = run(params, inputs[b])
+            fence(out)
+            times[b].append((time.perf_counter() - t0) / args.iters)
+
+    rng = np.random.RandomState(0)
+    out = {}
+    for b in batches:
+        v = np.asarray(times[b])
+        med = float(np.median(v))
+        boots = [np.median(rng.choice(v, size=len(v))) for _ in range(2000)]
+        lo, hi = np.percentile(boots, [97.5, 2.5])  # time hi -> rate lo
+        out[b] = {
+            "expl_per_sec_median": round(b / med, 1),
+            "expl_per_sec_ci95": [round(b / float(lo), 1),
+                                  round(b / float(hi), 1)],
+            "us_per_seq_median": round(med / b * 1e6, 1),
+        }
+    print(json.dumps({"model": args.model, "batch_sweep": out,
+                      "rounds": args.rounds,
+                      "int8": os.environ.get("AUTOGNOTHI_INT8")}),
+          flush=True)
 
 
 if __name__ == "__main__":
