@@ -70,8 +70,54 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+def _xla_masked_attention(q, k, v, mask_row, *, mode: str):
+    """Unpadded XLA reference math — the custom_vjp backward target."""
+    d = q.shape[-1]
+    scores = jnp.einsum(
+        "nhtd,nhsd->nhts", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(d)
+    m = mask_row.astype(scores.dtype)[:, None, None, :]
+    scores = scores + m if mode == "add" else scores * m
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("nhts,nhsd->nhtd", probs, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_masked_attention(mode: str, interpret: bool):
+    @jax.custom_vjp
+    def attn(q, k, v, mask_row):
+        return _masked_attention_impl(q, k, v, mask_row, mode=mode,
+                                      interpret=interpret)
+
+    def fwd(*args):
+        return attn(*args), args
+
+    def bwd(args, g):
+        _, vjp = jax.vjp(
+            lambda *a: _xla_masked_attention(*a, mode=mode), *args)
+        return vjp(g)
+
+    attn.defvjp(fwd, bwd)
+    return attn
+
+
 def masked_attention(
+    q: jax.Array,  # <N, h, T, D>
+    k: jax.Array,
+    v: jax.Array,
+    mask_row: jax.Array,  # <N, T> float; bias values (add) or 0/1 (mul)
+    mode: str = "add",
+    interpret: bool = False,
+) -> jax.Array:
+    """Kernel forward + full-precision XLA custom_vjp backward (the fused
+    kernels' convention — differentiating a raw pallas_call has no autodiff
+    rule)."""
+    return _make_masked_attention(mode, interpret)(q, k, v, mask_row)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+def _masked_attention_impl(
     q: jax.Array,  # <N, h, T, D>
     k: jax.Array,
     v: jax.Array,

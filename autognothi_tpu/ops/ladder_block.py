@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -46,12 +47,174 @@ N_BRANCH_ARGS = 18  # map_w, map_b, ln1_w, ln1_b, wq, bq, wk, bk, wv, bv,
 # wo, bo, ln2_w, ln2_b, w1, b1, w2, b2
 
 
+def _stacked_default() -> bool:
+    """Head-stacked attention math (one big scores dot + one big PV dot
+    instead of 2*n_heads chained narrow dots).  Opt-out knob."""
+    return os.environ.get("AUTOGNOTHI_LADDER_STACKED", "1") == "1"
+
+
+def _ctx_stacked(q, k, v, mask_row, *, n_heads: int, mode: str,
+                 scale: float):
+    """All-heads masked attention as TWO large dots.
+
+    Stack (q * m_h) for every head along the sublane axis (T padded to the
+    8-row tile boundary so the concat/slices stay Mosaic-aligned):
+        scores_stack = Q_stack @ k^T        <n_heads*Tp, T>   (one dot)
+        pv           = softmax(scores) @ v  <n_heads*Tp, s>   (one dot)
+        ctx          = sum_h pv[h] * m_h    (disjoint lane masks assemble
+                                             the head-concat)
+    (p_h @ v) * m_h == p_h @ (v * m_h): masking the output lanes equals
+    masking v's lanes.  Replaces 2*n_heads chained K=s/n_heads-structured
+    dots with 2 dots at full M — the chained-dot serialization was the
+    measured ladder overhead (BASELINE.md r3: 128 us/img vs ~60-70 floor).
+    """
+    t, s_hidden = q.shape
+    d = s_hidden // n_heads
+    tp = -(-t // 8) * 8  # sublane-aligned stacking pitch
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s_hidden), 1)
+    if tp != t:
+        qp = jnp.concatenate(
+            [q, jnp.zeros((tp - t, s_hidden), q.dtype)], axis=0)
+    else:
+        qp = q
+    q_stack = jnp.concatenate(
+        [qp * (lane // d == h).astype(q.dtype) for h in range(n_heads)],
+        axis=0)  # <n_heads*tp, s_hidden>
+    # probe-only cost-decomposition knob (playground/bench_ladder_ablate.py)
+    ablate = os.environ.get("AUTOGNOTHI_LADDER_ABLATE", "")
+    if "noqk" in ablate:
+        scores = q_stack[:, :1] * jnp.ones((1, t), q.dtype)
+        scores = scores.astype(jnp.float32)
+    else:
+        scores = jax.lax.dot_general(
+            q_stack, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # row block h == q_h @ k_h^T
+    if mode == "add":
+        scores = scores + mask_row[None, :]
+    else:
+        scores = scores * mask_row[None, :]
+    if "nosm" in ablate:
+        probs = (scores * (1.0 / t)).astype(v.dtype)
+    else:
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    if "nopv" in ablate:
+        pv = probs[:, :s_hidden].astype(jnp.float32)
+    else:
+        pv = jax.lax.dot_general(
+            probs, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    ctx = jnp.zeros((t, s_hidden), jnp.float32)
+    for h in range(n_heads):
+        m_h = (lane // d == h).astype(jnp.float32)
+        ctx = ctx + pv[h * tp:h * tp + t] * m_h
+    return ctx
+
+
+def _xla_ctx(q, k, v, mask_row, *, n_heads: int, mode: str, scale: float):
+    """Batched XLA reference for the masked ladder attention core
+    (vjp target of ladder_attention): <B, T, S> -> <B, T, S>."""
+    b, t, s_hidden = q.shape
+    d = s_hidden // n_heads
+
+    def heads(x):  # <B, T, S> -> <B, H, T, d>
+        return x.reshape(b, t, n_heads, d).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = heads(q), heads(k), heads(v)
+    scores = jnp.einsum("bhtd,bhsd->bhts", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    m = mask_row[:, None, None, :]
+    scores = scores + m if mode == "add" else scores * m
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    ctx = jnp.einsum("bhts,bhsd->bhtd", probs, vh,
+                     preferred_element_type=jnp.float32)
+    return ctx.transpose(0, 2, 1, 3).reshape(b, t, s_hidden).astype(q.dtype)
+
+
+def _attn_kernel(mask_ref, *refs, n_branches: int, n_heads: int, mode: str):
+    mask_row = mask_ref[0, 0]
+    for s in range(n_branches):
+        q, k, v = (refs[3 * s][0], refs[3 * s + 1][0], refs[3 * s + 2][0])
+        d = q.shape[-1] // n_heads
+        ctx = _ctx_stacked(q, k, v, mask_row, n_heads=n_heads, mode=mode,
+                           scale=1.0 / math.sqrt(d))
+        out_ref = refs[3 * n_branches + s]
+        out_ref[0] = ctx.astype(out_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_attn_fn(n_branches: int, n_heads: int, mode: str, interpret: bool):
+    @jax.custom_vjp
+    def attn(mask_row, *qkv_flat):
+        b, t, s_hidden = qkv_flat[0].shape
+        spec = pl.BlockSpec((1, t, s_hidden), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        kernel = functools.partial(_attn_kernel, n_branches=n_branches,
+                                   n_heads=n_heads, mode=mode)
+        return pl.pallas_call(
+            kernel,
+            grid=(b,),
+            in_specs=[pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)]
+            + [spec] * (3 * n_branches),
+            out_specs=[spec] * n_branches,
+            out_shape=[jax.ShapeDtypeStruct((b, t, s_hidden),
+                                            qkv_flat[0].dtype)
+                       for _ in range(n_branches)],
+            interpret=interpret,
+        )(mask_row.astype(jnp.float32)[:, None, :], *qkv_flat)
+
+    def xla(mask_row, *qkv_flat):
+        outs = []
+        for s in range(n_branches):
+            q, k, v = qkv_flat[3 * s:3 * s + 3]
+            d = q.shape[-1] // n_heads
+            outs.append(_xla_ctx(q, k, v, mask_row, n_heads=n_heads,
+                                 mode=mode, scale=1.0 / math.sqrt(d)))
+        return tuple(outs)
+
+    def fwd(*args):
+        return attn(*args), args
+
+    def bwd(args, g):
+        _, vjp = jax.vjp(lambda *a: xla(*a), *args)
+        return vjp(g)
+
+    attn.defvjp(fwd, bwd)
+    return attn
+
+
+def ladder_attention(qkvs, mask_row, n_heads: int, mode: str,
+                     use_pallas: bool, interpret: bool = False):
+    """Masked multi-head attention core for every ladder branch at once —
+    the only ladder stage that pays for T×T score materialization under
+    XLA.  `qkvs` = sequence of (q, k, v) triples <B, T, S>; returns the
+    per-branch ctx tuple.  The denses around it (map/QKV/proj/MLP) belong
+    OUTSIDE, as fat batched XLA dots (hybrid ladder: the in-kernel narrow
+    dense chain measured latency-bound, playground/bench_ladder_ablate.py).
+    """
+    interpret = interpret or interpret_default()
+    flat = [a for triple in qkvs for a in triple]
+    if use_pallas:
+        return _make_attn_fn(len(qkvs), n_heads, mode, interpret)(
+            mask_row, *flat)
+    outs = []
+    for q, k, v in qkvs:
+        d = q.shape[-1] // n_heads
+        outs.append(_xla_ctx(q, k, v, mask_row, n_heads=n_heads, mode=mode,
+                             scale=1.0 / math.sqrt(d)))
+    return tuple(outs)
+
+
 def _branch_math(h, side, mask_row, args, *, n_heads: int, mode: str,
-                 pre_norm: bool, ln_eps: float, gelu):
+                 pre_norm: bool, ln_eps: float, gelu,
+                 stacked: bool = False):
     """One branch's ladder update (shared by kernel and XLA reference;
     `gelu` is injected: in-kernel A&S erf vs jax.nn.gelu outside)."""
     (map_w, map_b, ln1_w, ln1_b, wq, bq, wk, bk, wv, bv, wo, bo,
      ln2_w, ln2_b, w1, b1, w2, b2) = args
+    ablate = os.environ.get("AUTOGNOTHI_LADDER_ABLATE", "")  # probe-only
 
     def dot(a, w, b):
         y = jax.lax.dot_general(
@@ -60,52 +223,70 @@ def _branch_math(h, side, mask_row, args, *, n_heads: int, mode: str,
         ) + b.astype(jnp.float32)
         return y.astype(a.dtype)
 
-    mapped = jax.lax.dot_general(
-        h, map_w, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + map_b.astype(jnp.float32)
-    x = side + gelu(mapped).astype(side.dtype)
+    def ln(x, w, bias):
+        if "noln" in ablate:
+            return x
+        return _ln32(x, w, bias, ln_eps)
 
-    a = _ln32(x, ln1_w, ln1_b, ln_eps) if pre_norm else x
-    q, k, v = dot(a, wq, bq), dot(a, wk, bk), dot(a, wv, bv)
+    if "nomap" in ablate:
+        x = side + h[:, :side.shape[-1]].astype(side.dtype)
+    else:
+        mapped = jax.lax.dot_general(
+            h, map_w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + map_b.astype(jnp.float32)
+        x = side + gelu(mapped).astype(side.dtype)
+
+    a = ln(x, ln1_w, ln1_b) if pre_norm else x
+    if "noqkv" in ablate:
+        q = k = v = a
+    else:
+        q, k, v = dot(a, wq, bq), dot(a, wk, bk), dot(a, wv, bv)
 
     s_hidden = q.shape[-1]
     d = s_hidden // n_heads
     scale = 1.0 / math.sqrt(d)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, s_hidden), 1)
-    ctx = jnp.zeros(q.shape, jnp.float32)
-    for head in range(n_heads):
-        m_h = (lane // d == head).astype(q.dtype)  # <1, s_hidden>
-        scores = jax.lax.dot_general(
-            (q * m_h), k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # <T, T> == q_h @ k_h^T
-        if mode == "add":
-            scores = scores + mask_row[None, :]
-        else:
-            scores = scores * mask_row[None, :]
-        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        ctx = ctx + jax.lax.dot_general(
-            probs, v * m_h, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    if stacked:
+        ctx = _ctx_stacked(q, k, v, mask_row, n_heads=n_heads, mode=mode,
+                           scale=scale)
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, s_hidden), 1)
+        ctx = jnp.zeros(q.shape, jnp.float32)
+        for head in range(n_heads):
+            m_h = (lane // d == head).astype(q.dtype)  # <1, s_hidden>
+            scores = jax.lax.dot_general(
+                (q * m_h), k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # <T, T> == q_h @ k_h^T
+            if mode == "add":
+                scores = scores + mask_row[None, :]
+            else:
+                scores = scores * mask_row[None, :]
+            probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+            ctx = ctx + jax.lax.dot_general(
+                probs, v * m_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
     ctx = ctx.astype(x.dtype)
 
-    attn_out = dot(ctx, wo, bo)
+    attn_out = ctx if "noproj" in ablate else dot(ctx, wo, bo)
     x = x + attn_out
     if pre_norm:
-        y = _ln32(x, ln2_w, ln2_b, ln_eps)
+        y = ln(x, ln2_w, ln2_b)
     else:
-        x = _ln32(x, ln1_w, ln1_b, ln_eps)
+        x = ln(x, ln1_w, ln1_b)
         y = x
-    inter = gelu(jax.lax.dot_general(
-        y, w1, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1.astype(jnp.float32)).astype(x.dtype)
-    mlp_out = dot(inter, w2, b2)
-    out = x + mlp_out
+    if "nomlp" in ablate:
+        out = x + y
+    else:
+        inter = gelu(jax.lax.dot_general(
+            y, w1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1.astype(jnp.float32)).astype(x.dtype)
+        mlp_out = dot(inter, w2, b2)
+        out = x + mlp_out
     if not pre_norm:
-        out = _ln32(out, ln2_w, ln2_b, ln_eps)
+        out = ln(out, ln2_w, ln2_b)
     return out
 
 
@@ -131,7 +312,7 @@ def _xla_ladder(h, mask_row, *flat, n_branches: int, n_heads: int,
 
 
 def _kernel(mask_ref, h_ref, *refs, n_branches: int, n_heads: int,
-            mode: str, pre_norm: bool, ln_eps: float):
+            mode: str, pre_norm: bool, ln_eps: float, stacked: bool):
     side_refs = refs[:n_branches]
     out_refs = refs[-n_branches:]
     h = h_ref[0]  # <T, 768>
@@ -147,13 +328,14 @@ def _kernel(mask_ref, h_ref, *refs, n_branches: int, n_heads: int,
         out = _branch_math(
             h, side_refs[s][0], mask_row, args, n_heads=n_heads, mode=mode,
             pre_norm=pre_norm, ln_eps=ln_eps, gelu=_gelu_exact,
+            stacked=stacked,
         )
         out_refs[s][0] = out.astype(out_refs[s].dtype)
 
 
 def _pallas_ladder(h, mask_row, *flat, n_branches: int, n_heads: int,
                    mode: str, pre_norm: bool, ln_eps: float,
-                   interpret: bool):
+                   interpret: bool, stacked: bool):
     b, t, hidden = h.shape
     s_hidden = flat[0].shape[-1]
     mask3 = mask_row.astype(jnp.float32)[:, None, :]
@@ -175,7 +357,7 @@ def _pallas_ladder(h, mask_row, *flat, n_branches: int, n_heads: int,
 
     kernel = functools.partial(
         _kernel, n_branches=n_branches, n_heads=n_heads, mode=mode,
-        pre_norm=pre_norm, ln_eps=ln_eps,
+        pre_norm=pre_norm, ln_eps=ln_eps, stacked=stacked,
     )
     return pl.pallas_call(
         kernel,
@@ -196,7 +378,7 @@ def _pallas_ladder(h, mask_row, *flat, n_branches: int, n_heads: int,
 
 @functools.lru_cache(maxsize=None)
 def _make_ladder_fn(n_branches: int, n_heads: int, mode: str, pre_norm: bool,
-                    ln_eps: float, interpret: bool):
+                    ln_eps: float, interpret: bool, stacked: bool):
     xla = functools.partial(_xla_ladder, n_branches=n_branches,
                             n_heads=n_heads, mode=mode, pre_norm=pre_norm,
                             ln_eps=ln_eps)
@@ -205,7 +387,8 @@ def _make_ladder_fn(n_branches: int, n_heads: int, mode: str, pre_norm: bool,
     def ladder(h, mask_row, *flat):
         return _pallas_ladder(h, mask_row, *flat, n_branches=n_branches,
                               n_heads=n_heads, mode=mode, pre_norm=pre_norm,
-                              ln_eps=ln_eps, interpret=interpret)
+                              ln_eps=ln_eps, interpret=interpret,
+                              stacked=stacked)
 
     def fwd(*args):
         return ladder(*args), args
@@ -244,7 +427,7 @@ def _xla_mlp_ladder(h_attn, mask_row, w1t, b1, w2t, b2, ln_w, ln_b, *flat,
 def _kernel_mlp_ladder_q(mask_ref, h_ref, w1_ref, s1_ref, b1_ref,
                          w2_ref, s2_ref, b2_ref, lnw_ref, lnb_ref, *refs,
                          n_branches: int, n_heads: int, mode: str,
-                         ln_eps: float):
+                         ln_eps: float, stacked: bool):
     from .mlp_block import _quant_rows
 
     side_refs = refs[:n_branches]
@@ -279,14 +462,14 @@ def _kernel_mlp_ladder_q(mask_ref, h_ref, w1_ref, s1_ref, b1_ref,
         )
         upd = _branch_math(
             h, side_refs[s][0], mask_row, args, n_heads=n_heads, mode=mode,
-            pre_norm=True, ln_eps=ln_eps, gelu=_gelu_exact,
+            pre_norm=True, ln_eps=ln_eps, gelu=_gelu_exact, stacked=stacked,
         )
         out_refs[s][0] = upd.astype(out_refs[s].dtype)
 
 
 def _pallas_mlp_ladder_q(h_attn, mask_row, w1t, b1, w2t, b2, ln_w, ln_b,
                          *flat, n_branches: int, n_heads: int, mode: str,
-                         ln_eps: float, interpret: bool):
+                         ln_eps: float, interpret: bool, stacked: bool):
     from .mlp_block import quant_cols
 
     b, t, hidden = h_attn.shape
@@ -311,7 +494,7 @@ def _pallas_mlp_ladder_q(h_attn, mask_row, w1t, b1, w2t, b2, ln_w, ln_b,
 
     kernel = functools.partial(
         _kernel_mlp_ladder_q, n_branches=n_branches, n_heads=n_heads,
-        mode=mode, ln_eps=ln_eps,
+        mode=mode, ln_eps=ln_eps, stacked=stacked,
     )
     return pl.pallas_call(
         kernel,
@@ -334,7 +517,7 @@ def _pallas_mlp_ladder_q(h_attn, mask_row, w1t, b1, w2t, b2, ln_w, ln_b,
 
 @functools.lru_cache(maxsize=None)
 def _make_mlp_ladder_fn(n_branches: int, n_heads: int, mode: str,
-                        ln_eps: float, interpret: bool):
+                        ln_eps: float, interpret: bool, stacked: bool):
     xla = functools.partial(_xla_mlp_ladder, n_branches=n_branches,
                             n_heads=n_heads, mode=mode, ln_eps=ln_eps)
 
@@ -343,7 +526,7 @@ def _make_mlp_ladder_fn(n_branches: int, n_heads: int, mode: str,
         return _pallas_mlp_ladder_q(
             h_attn, mask_row, w1t, b1, w2t, b2, ln_w, ln_b, *flat,
             n_branches=n_branches, n_heads=n_heads, mode=mode,
-            ln_eps=ln_eps, interpret=interpret)
+            ln_eps=ln_eps, interpret=interpret, stacked=stacked)
 
     def fwd(*args):
         return fused(*args), args
@@ -393,7 +576,8 @@ def mlp_ladder_block(
              trunk_mlp["ln_w"], trunk_mlp["ln_b"])
     if use_pallas:
         return _make_mlp_ladder_fn(len(sides), n_heads, mode,
-                                   float(ln_eps), interpret)(
+                                   float(ln_eps), interpret,
+                                   _stacked_default())(
             h_attn, mask_row, *trunk, *flat)
     return _xla_mlp_ladder(h_attn, mask_row, *trunk, *flat,
                            n_branches=len(sides), n_heads=n_heads,
@@ -432,7 +616,8 @@ def ladder_block(
                     for a in _flatten_branch(w))
     if use_pallas:
         return _make_ladder_fn(len(sides), n_heads, mode, pre_norm,
-                               float(ln_eps), interpret)(h, mask_row, *flat)
+                               float(ln_eps), interpret,
+                               _stacked_default())(h, mask_row, *flat)
     return _xla_ladder(h, mask_row, *flat, n_branches=len(sides),
                        n_heads=n_heads, mode=mode, pre_norm=pre_norm,
                        ln_eps=float(ln_eps))

@@ -343,3 +343,73 @@ def test_mlp_ladder_block_matches_xla():
         rel = float(jnp.max(jnp.abs(out[1 + s] - ref[1 + s]))) / float(
             jnp.max(jnp.abs(ref[1 + s])))
         assert rel < 0.05, (s, rel)
+
+
+def test_ladder_block_stacked_matches_loop(monkeypatch):
+    """The head-stacked attention math (one big scores dot + one big PV
+    dot, T padded to the sublane tile) equals the per-head-loop kernel and
+    the XLA reference — including an unaligned T."""
+    from autognothi_tpu.ops import ladder_block as lb
+
+    rng = np.random.RandomState(11)
+    b, t, hidden, s_h, heads = 2, 11, 32, 16, 4
+
+    def mk_branch():
+        def w(*s):
+            return jnp.asarray(rng.randn(*s), jnp.float32) * 0.15
+        return {
+            "map_w": w(s_h, hidden), "map_b": w(s_h),
+            "ln1_w": jnp.ones((s_h,)), "ln1_b": jnp.zeros((s_h,)),
+            "wq": w(s_h, s_h), "bq": w(s_h), "wk": w(s_h, s_h),
+            "bk": w(s_h), "wv": w(s_h, s_h), "bv": w(s_h),
+            "wo": w(s_h, s_h), "bo": w(s_h),
+            "ln2_w": jnp.ones((s_h,)), "ln2_b": jnp.zeros((s_h,)),
+            "w1": w(2 * s_h, s_h), "b1": w(2 * s_h),
+            "w2": w(s_h, 2 * s_h), "b2": w(s_h),
+        }
+
+    h = jnp.asarray(rng.randn(b, t, hidden), jnp.float32) * 0.5
+    sides = [jnp.asarray(rng.randn(b, t, s_h), jnp.float32) * 0.5]
+    branches = [mk_branch()]
+    mask_mul = jnp.asarray((rng.rand(b, t) > 0.3).astype(np.float32))
+    mask_add = jnp.where(mask_mul > 0, 0.0, -1e9)
+    for mode, mask, pre in (("mul", mask_mul, True), ("add", mask_add, False)):
+        ref = lb.ladder_block(h, sides, mask, branches, heads, mode, pre,
+                              1e-12, use_pallas=False)
+        outs = {}
+        for flag in ("0", "1"):
+            monkeypatch.setenv("AUTOGNOTHI_LADDER_STACKED", flag)
+            outs[flag] = lb.ladder_block(h, sides, mask, branches, heads,
+                                         mode, pre, 1e-12, use_pallas=True,
+                                         interpret=True)
+        for flag in ("0", "1"):
+            np.testing.assert_allclose(
+                np.asarray(outs[flag][0]), np.asarray(ref[0]), atol=2e-5,
+                err_msg=f"mode={mode} stacked={flag}")
+
+
+def test_ladder_attention_matches_xla():
+    """The standalone masked-attention-core kernel (ladder_attention)
+    equals batched XLA attention for both mask modes, and its custom_vjp
+    backward is finite."""
+    from autognothi_tpu.ops.ladder_block import ladder_attention
+
+    rng = np.random.RandomState(12)
+    b, t, s_h, heads = 2, 13, 16, 4
+    qkvs = [tuple(jnp.asarray(rng.randn(b, t, s_h), jnp.float32)
+                  for _ in range(3)) for _ in range(2)]
+    mask_mul = jnp.asarray((rng.rand(b, t) > 0.3).astype(np.float32))
+    mask_add = jnp.where(mask_mul > 0, 0.0, -1e9)
+    for mode, mask in (("mul", mask_mul), ("add", mask_add)):
+        ref = ladder_attention(qkvs, mask, heads, mode, use_pallas=False)
+        out = ladder_attention(qkvs, mask, heads, mode, use_pallas=True,
+                               interpret=True)
+        for s in range(2):
+            np.testing.assert_allclose(
+                np.asarray(out[s]), np.asarray(ref[s]), atol=1e-5,
+                err_msg=f"mode={mode} branch={s}")
+
+    g = jax.grad(lambda q: jnp.sum(ladder_attention(
+        [(q, qkvs[0][1], qkvs[0][2])], mask_mul, heads, "mul",
+        use_pallas=True, interpret=True)[0] ** 2))(qkvs[0][0])
+    assert np.isfinite(np.asarray(g)).all()
