@@ -162,6 +162,84 @@ def sharded_serving_fn(fn, mesh: Mesh):
     return jax.jit(wrapped)
 
 
+def _smap():
+    try:
+        from jax import shard_map as smap  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as smap
+    return smap
+
+
+def sharded_call(fn, mesh: Mesh, in_axes, out_axes=0):
+    """`fn(*args)` under shard_map over the "data" axis — the generic form
+    of sharded_serving_fn for the eval-report sweeps (SURVEY §2.9: the
+    whole eval family is embarrassingly parallel).
+
+    in_axes: one entry per positional arg — an int axis to split along
+    "data", or None to replicate (pytree args replicate whole).  Outputs
+    are reassembled along `out_axes` when that dim divides the mesh, else
+    replicated.  Composable inside jit.  Unlike plain GSPMD jit this keeps
+    pallas_call kernels per-shard (they otherwise run replicated behind
+    all-gathers — tests/test_pallas_gspmd.py).  Sharded input dims must
+    divide the mesh (see sharded_eval_fn for the ragged fallback)."""
+    n = mesh.shape["data"]
+
+    def axis_spec(ndim: int, axis: int) -> P:
+        return P(*[("data" if i == axis else None) for i in range(ndim)])
+
+    def call(*args):
+        in_specs = tuple(
+            jax.tree.map(lambda _: P(), a) if ax is None
+            else axis_spec(jnp.asarray(a).ndim, ax)
+            for a, ax in zip(args, in_axes)
+        )
+        outs = jax.eval_shape(fn, *args)
+
+        def ospec(s):
+            nd = len(s.shape)
+            if (out_axes is None or nd <= out_axes
+                    or s.shape[out_axes] % n != 0):
+                return P(*([None] * nd))
+            return axis_spec(nd, out_axes)
+
+        o_specs = jax.tree.map(ospec, outs)
+        return _smap()(fn, mesh=mesh, in_specs=in_specs, out_specs=o_specs,
+                       check_vma=False)(*args)
+
+    return call
+
+
+def sharded_eval_fn(fn, mesh: Optional[Mesh], in_axes, out_axes=0):
+    """jit-wrapped sharded_call with a ragged-shape fallback.
+
+    mesh None -> plain jit (single device; fused kernels stay on).  With a
+    mesh: batch shapes that divide it run per-shard under shard_map
+    (kernels included); ragged final batches fall back to the XLA path
+    (pallas pinned off — pipeline.training.mesh_safe_pallas rationale),
+    computed under whatever placement the caller gave the operands."""
+    if mesh is None:
+        return jax.jit(fn)
+    n = mesh.shape["data"]
+    call = sharded_call(fn, mesh, in_axes, out_axes)
+
+    from ..models.common import pallas_override
+
+    @jax.jit
+    def wrapped(*args):
+        shardable = all(
+            ax is None or (jnp.asarray(a).ndim > ax
+                           and jnp.asarray(a).shape[ax] % n == 0
+                           and jnp.asarray(a).shape[ax] >= n)
+            for a, ax in zip(args, in_axes)
+        )
+        if not shardable:
+            with pallas_override("0"):
+                return fn(*args)
+        return call(*args)
+
+    return wrapped
+
+
 def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray:
     """Edge-pad `axis` up to a multiple (static shapes for SPMD)."""
     size = arr.shape[axis]

@@ -46,18 +46,17 @@ def measure_accuracy(
     epoch_srg, srg_params = load_epoch_model(env, recipe, "surrogate")
 
     # embarrassingly parallel over the batch (SURVEY §2.9): params
-    # replicated, batch sharded along the data mesh — identical math
-    from ..parallel.mesh import setup_data_parallel
-    from .training import mesh_safe_pallas
+    # replicated, batch sharded along the data mesh — identical math.
+    # shard_map (not plain GSPMD jit) so the fused kernels run per-shard
+    from ..parallel.mesh import setup_data_parallel, sharded_eval_fn
 
     mesh, place_params, place_batch = setup_data_parallel()
     srg_params = place_params(srg_params)
 
     def _fwd(p, xs, mask):
-        with mesh_safe_pallas(mesh):
-            return recipe.fw_surrogate(m_config, p, xs, mask)[0]
+        return recipe.fw_surrogate(m_config, p, xs, mask)[0]
 
-    fwd = jax.jit(_fwd)
+    fwd = sharded_eval_fn(_fwd, mesh, in_axes=(None, 0, 0))
 
     env.log("[[[ measuring surrogate... ]]]")
     all_masked = np.linspace(0, n_players, config.eval_accuracy.resolution,

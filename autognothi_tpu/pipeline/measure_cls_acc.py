@@ -58,17 +58,16 @@ def measure_cls_acc(
         return ranged_modulo_test(config.eval_cls_acc.on_exp_epochs)(ep)
 
     # embarrassingly parallel over the batch (SURVEY §2.9): params
-    # replicated, batch sharded along the data mesh — identical math
-    from ..parallel.mesh import setup_data_parallel
-    from .training import mesh_safe_pallas
+    # replicated, batch sharded along the data mesh — identical math.
+    # shard_map (not plain GSPMD jit) so the fused kernels run per-shard
+    from ..parallel.mesh import setup_data_parallel, sharded_eval_fn
 
     mesh, place_params, place_batch = setup_data_parallel()
 
     def _fw_final(p, xs):
-        with mesh_safe_pallas(mesh):
-            return recipe.fw_final(m_config, p, xs)[0]
+        return recipe.fw_final(m_config, p, xs)[0]
 
-    fw_final = jax.jit(_fw_final)
+    fw_final = sharded_eval_fn(_fw_final, mesh, in_axes=(None, 0))
 
     env.log("[[[ measuring explainers... ]]]")
     all_epochs: List[int] = []

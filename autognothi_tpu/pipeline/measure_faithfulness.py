@@ -123,8 +123,6 @@ def measure_faithfulness(
         """xs <1, ...>, attr <C, P> -> <C, S> surrogate value of class c at
         stop s (one coalition batch through the embed-once fast path,
         sharded over the data mesh)."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         n_classes = attr.shape[0]
         masks0 = perturbation_masks(attr, stops, mask_base)  # <C, S, P>
         total = n_classes * steps
@@ -137,13 +135,17 @@ def measure_faithfulness(
                 [flat, jnp.broadcast_to(flat[:, -1:], (1, padded - total,
                                                        n_players))], axis=1)
         if mesh is not None:
-            flat = jax.lax.with_sharding_constraint(
-                flat, NamedSharding(mesh, P(None, "data", None)))
-        # sharded region: XLA path (GSPMD partitions it; a pallas_call
-        # would replicate behind all-gathers — pipeline.training helper)
-        from .training import mesh_safe_pallas
+            # shard_map over the coalition axis: xs/params replicated,
+            # masks split — the fused kernels run per-shard (plain GSPMD
+            # jit would replicate a pallas_call behind all-gathers)
+            from ..parallel.mesh import sharded_call
 
-        with mesh_safe_pallas(mesh):
+            probs = sharded_call(
+                lambda p, x, f: surrogate_coalition_values(
+                    recipe, m_config, p, x, f),
+                mesh, in_axes=(None, None, 1), out_axes=0,
+            )(srg_p, xs, flat)
+        else:
             probs = surrogate_coalition_values(recipe, m_config, srg_p, xs,
                                                flat)
         probs = probs.reshape(padded, -1)[:total]

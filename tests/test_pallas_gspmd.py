@@ -207,3 +207,76 @@ def test_shard_map_serving_partitions(monkeypatch):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(attr), np.asarray(ref[1]),
                                atol=1e-5)
+
+
+def test_sharded_eval_fn_kernels_per_shard(monkeypatch):
+    """The eval-report wrapper (parallel.mesh.sharded_eval_fn) runs the
+    fused kernels per-shard on divisible batches (sharded output, XLA
+    parity) and falls back cleanly on ragged batches."""
+    monkeypatch.setenv("AUTOGNOTHI_PALLAS", "2")
+    monkeypatch.setenv("AUTOGNOTHI_PALLAS_INTERPRET", "1")
+    from autognothi_tpu.parallel.mesh import sharded_eval_fn
+
+    mesh = make_mesh(8, model_parallel=1)
+    ws, bs, w1, b1, w2, b2 = _layer_weights()
+
+    def fwd(params, x):
+        wq, wk, wv, wo = params["w"]
+        bq, bk, bv, bo = params["b"]
+        mask = jnp.ones((x.shape[0], T))
+        h = attention_block(x, mask, (wq, bq, wk, bk, wv, bv, wo, bo),
+                            HEADS, "mul", use_pallas=True, interpret=True)
+        return mlp_block(h, params["w1"], params["b1"], params["w2"],
+                         params["b2"], use_pallas=True, interpret=True)
+
+    params = {"w": ws, "b": bs, "w1": w1, "b1": b1, "w2": w2, "b2": b2}
+    x = jnp.asarray(RNG.randn(B, T, H).astype(np.float32)) * 0.5
+
+    from autognothi_tpu.models.common import pallas_override
+    with pallas_override("0"):
+        ref = jax.jit(fwd)(params, x)
+
+    fn = sharded_eval_fn(fwd, mesh, in_axes=(None, 0))
+    with mesh:
+        params_r = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P())), params)
+        x_s = jax.device_put(x, NamedSharding(
+            mesh, P("data", *([None] * (x.ndim - 1)))))
+        out = fn(params_r, x_s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3)
+        assert not out.sharding.is_fully_replicated, (
+            "divisible batch must come back sharded")
+
+        # ragged batch (B=10 on 8 devices): falls back, stays correct
+        x10 = x[:10]
+        with pallas_override("0"):
+            ref10 = jax.jit(fwd)(params, x10)
+        out10 = fn(params_r, jax.device_put(
+            x10, NamedSharding(mesh, P(*([None] * x10.ndim)))))
+        np.testing.assert_allclose(np.asarray(out10), np.asarray(ref10),
+                                   atol=2e-3)
+
+
+def test_sharded_call_coalition_axis():
+    """sharded_call splits a non-leading axis (the faithfulness coalition
+    axis) and reassembles outputs on axis 0."""
+    from autognothi_tpu.parallel.mesh import sharded_call
+
+    mesh = make_mesh(8, model_parallel=1)
+
+    def fn(w, x, masks):
+        b, m, p = masks.shape
+        vals = jnp.einsum("bmp,p->bm", masks, w) + jnp.sum(x)
+        return vals.reshape(b * m, 1)
+
+    w = jnp.asarray(RNG.randn(5).astype(np.float32))
+    x = jnp.asarray(RNG.randn(1, 3).astype(np.float32))
+    masks = jnp.asarray((RNG.rand(1, 16, 5) > 0.5).astype(np.float32))
+    ref = fn(w, x, masks)
+    with mesh:
+        out = jax.jit(
+            lambda w_, x_, m_: sharded_call(
+                fn, mesh, in_axes=(None, None, 1), out_axes=0)(w_, x_, m_)
+        )(w, x, masks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
