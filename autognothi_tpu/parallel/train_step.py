@@ -54,26 +54,50 @@ def _ltt_kwargs(recipe: ModelRecipe, ltt_active):
 
 
 def _teacher_quant() -> str:
-    """AUTOGNOTHI_INT8_TEACHER=1 quantizes the frozen no-grad teacher sweep
-    (the B*M masked surrogate forwards — the bulk of the step's FLOPs) with
-    the W8A8 kernels.  The differentiated explainer forward is always pinned
-    to bf16 so its custom_vjp gradients stay exact."""
-    return "int8" if os.environ.get("AUTOGNOTHI_INT8_TEACHER") == "1" \
-        else "none"
+    """The frozen no-grad teacher sweep (the B*M masked surrogate forwards
+    — 80% of the step, playground/bench_train_breakdown.py) runs W8A8 by
+    default: measured -13% teacher / +4.4% step (r3), with the hardware
+    quality gate (playground/teacher_quality_gate.py: two same-seed mini
+    trainings, bf16 vs int8 teacher) showing identical faithfulness AUCs
+    and attribution rankings.  AUTOGNOTHI_INT8_TEACHER=0 opts out.  The
+    differentiated explainer forward is always pinned to bf16 so its
+    custom_vjp gradients stay exact."""
+    return "none" if os.environ.get("AUTOGNOTHI_INT8_TEACHER") == "0" \
+        else "int8"
 
 
 def _make_teacher(
-    recipe: ModelRecipe, m_config: Any, n_players: int
+    recipe: ModelRecipe, m_config: Any, n_players: int, mesh=None
 ) -> Callable:
-    def teacher(srg_params: Params, xs, masks_bmp):
+    """The no-grad teacher sweep (80% of the step's time —
+    playground/bench_train_breakdown.py).  With a mesh it runs under
+    shard_map over the batch axis so the fused kernels execute per-shard
+    on multi-chip (the GSPMD fallback would replicate a pallas_call behind
+    all-gathers; parallel.mesh.sharded_call)."""
+
+    def inner(srg_params: Params, xs, masks_bmp):
         b = masks_bmp.shape[0]
         mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
-        with _mesh_safe_pallas(), quant_override(_teacher_quant()):
+        with quant_override(_teacher_quant()):
             v_s = surrogate_coalition_values(
                 recipe, m_config, srg_params, xs, masks_bmp
             )
             v_1, _ = recipe.fw_surrogate(m_config, srg_params, xs, mask_1)
         return v_s, v_1
+
+    def teacher(srg_params: Params, xs, masks_bmp):
+        # pure-DP meshes only: under Megatron TP the teacher params are
+        # model-sharded and GSPMD must keep partitioning them (shard_map
+        # with replicated param specs would all-gather the whole model)
+        dp_only = mesh is not None and dict(mesh.shape).get("model", 1) == 1
+        if dp_only and xs.shape[0] % mesh.shape["data"] == 0 \
+                and xs.shape[0] >= mesh.shape["data"]:
+            from .mesh import sharded_call
+
+            return sharded_call(inner, mesh, in_axes=(None, 0, 0),
+                                out_axes=0)(srg_params, xs, masks_bmp)
+        with _mesh_safe_pallas():
+            return inner(srg_params, xs, masks_bmp)
 
     return teacher
 
@@ -84,15 +108,18 @@ def make_explainer_train_step(
     n_players: int,
     n_mask_samples: int,
     tx: optax.GradientTransformation,
+    mesh=None,
 ) -> Callable:
     """-> step(params, opt_state, srg_params, surrogate_null, xs, key, lr,
                update_mask, ltt_active) -> (params, opt_state, loss)
 
     `update_mask` is a per-param 0/1 scalar dict (pipeline.training.ones_mask
     / filter_mask); `ltt_active` an int32 scalar (ignored by non-LTT
-    recipes).  `key` seeds both the coalition sampler and dropout.
+    recipes).  `key` seeds both the coalition sampler and dropout.  `mesh`
+    (optional): the trainer's data mesh — the teacher sweep then keeps the
+    fused kernels per-shard via shard_map instead of pinning to XLA.
     """
-    teacher = _make_teacher(recipe, m_config, n_players)
+    teacher = _make_teacher(recipe, m_config, n_players, mesh)
 
     def loss_fn(params, xs, masks_bmp, v_0, v_s, v_1, rng, ltt_active,
                 weights):
@@ -136,10 +163,11 @@ def make_explainer_eval_step(
     m_config: Any,
     n_players: int,
     n_mask_samples: int,
+    mesh=None,
 ) -> Callable:
     """-> eval(params, srg_params, surrogate_null, xs, key, ltt_active)
             -> loss   (deterministic forward, same fused teacher sweep)"""
-    teacher = _make_teacher(recipe, m_config, n_players)
+    teacher = _make_teacher(recipe, m_config, n_players, mesh)
 
     @jax.jit
     def eval_step(params, srg_params, surrogate_null, xs, key, ltt_active,

@@ -91,9 +91,9 @@ def train_explainer(env: ExpEnv) -> None:
     # ONE step implementation: the fused, mesh-shardable XLA program from
     # parallel/train_step.py (sampler + teacher + fwd/bwd + AdamW).
     step = make_explainer_train_step(recipe, m_config, n_players,
-                                     n_mask_samples, tx)
+                                     n_mask_samples, tx, mesh=mesh)
     eval_step = make_explainer_eval_step(recipe, m_config, n_players,
-                                         n_mask_samples)
+                                         n_mask_samples, mesh=mesh)
 
     def run_epoch(epoch: int, rng, lr, update_mask, ltt_active, train: bool):
         nonlocal params, opt_state

@@ -68,7 +68,8 @@ def _run_step(recipe, cfg, n_players, exp_params, srg_params, surrogate_null,
         srg_params = shard_params(srg_params, mesh)
         xs = shard_batch(xs, mesh)
     tx, opt_state = make_optimizer(exp_params, lambda name: True)
-    step = make_explainer_train_step(recipe, cfg, n_players, 4, tx)
+    step = make_explainer_train_step(recipe, cfg, n_players, 4, tx,
+                                     mesh=mesh)
     args = (
         exp_params, opt_state, srg_params, surrogate_null, xs,
         jax.random.PRNGKey(7), jnp.asarray(1e-3),

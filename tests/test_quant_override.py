@@ -105,7 +105,11 @@ def test_dense_serving_grads_are_full_precision(tpu_pallas):
 def test_teacher_quant_env(monkeypatch):
     from autognothi_tpu.parallel import train_step as ts
 
+    # default ON since r3 (measured +4.4% step; trained-quality gated by
+    # playground/teacher_quality_gate.py) — "0" opts out
     monkeypatch.delenv("AUTOGNOTHI_INT8_TEACHER", raising=False)
+    assert ts._teacher_quant() == "int8"
+    monkeypatch.setenv("AUTOGNOTHI_INT8_TEACHER", "0")
     assert ts._teacher_quant() == "none"
     monkeypatch.setenv("AUTOGNOTHI_INT8_TEACHER", "1")
     assert ts._teacher_quant() == "int8"
