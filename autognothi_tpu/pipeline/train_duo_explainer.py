@@ -13,8 +13,6 @@ import numpy as np
 
 from ..models.common import quant_override
 from ..ops.shapley import loss_shapley, mask_shapley
-from ..parallel.train_step import _teacher_quant
-from ..recipes.types import surrogate_coalition_values
 from ..utils.seeding import iterative_key, set_iterative_seed
 from .env import ExpEnv
 from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
@@ -67,19 +65,18 @@ def train_duo_explainer(env: ExpEnv) -> None:
         lambda p, xs, mask: recipe.fw_surrogate(m_config, p, xs, mask)
     )(srg_params, nil_xs, nil_mask)
 
-    @jax.jit
-    def teacher(p, xs, masks_bmp):
-        b = masks_bmp.shape[0]
-        mask_1 = jnp.ones((b, n_players), jnp.int32)
-        with quant_override(_teacher_quant()):  # frozen no-grad sweep
-            v_s = surrogate_coalition_values(recipe, m_config, p, xs, masks_bmp)
-            v_1, _ = recipe.fw_surrogate(m_config, p, xs, mask_1)
-        return v_s, v_1
+    # the shared teacher helper: int8 no-grad sweep by default, pinned to
+    # XLA / routed through shard_map under a mesh exactly like the
+    # single-explainer step (parallel.train_step._make_teacher)
+    from ..parallel.train_step import _make_teacher, _mesh_safe_pallas
+
+    teacher = jax.jit(_make_teacher(recipe, m_config, n_players, mesh))
 
     def joint_loss(p, xs, zs, masks_bmp, v_0, v_s, v_1, rng, weights):
         b = masks_bmp.shape[0]
         mask_1 = jnp.ones((b, n_players), jnp.int32)
-        with quant_override("none"):  # differentiated fwd stays bf16 so the
+        with _mesh_safe_pallas(), quant_override("none"):
+            # differentiated fwd stays bf16 so the
             # custom_vjp gradients match the forward math (train_step.py)
             phi, base_ys = recipe.fw_explainer(
                 m_config, p, xs, mask_1, v_1, v_0,

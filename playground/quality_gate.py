@@ -117,7 +117,7 @@ def auc_cells(report: dict, prefix=""):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", default=None)
-    ap.add_argument("--net", choices=["vanilla_vit", "ltt_vit"],
+    ap.add_argument("--net", choices=["vanilla_vit", "ltt_vit", "froyo_vit"],
                     default="vanilla_vit")
     ap.add_argument("--atol", type=float, default=5e-3)
     args = ap.parse_args()
@@ -130,7 +130,15 @@ def main() -> None:
         if exp.exists():
             shutil.rmtree(exp)
         exp.mkdir(parents=True)
-        hp = MINI_VIT_HPARAMS if args.net == "vanilla_vit" else ltt_hparams()
+        if args.net == "ltt_vit":
+            hp = ltt_hparams()
+        elif args.net == "froyo_vit":
+            # froyo (single-trunk final — the family's fastest member and a
+            # bench.py secondary metric) takes the vanilla params verbatim
+            hp = json.loads(json.dumps(MINI_VIT_HPARAMS))
+            hp["net"]["kind"] = "froyo_vit"
+        else:
+            hp = MINI_VIT_HPARAMS
         (exp / ".hparams.json").write_text(
             json.dumps(hp, indent=1), encoding="utf-8"
         )
