@@ -1,6 +1,9 @@
 """Base-model fine-tuner: fully unfreezes the classifier, trains it on the
 experiment dataset, and exports it into the zoo store as an `ft_*` base
-model (parity: /root/reference/scripts/pretrain_classifier.py)."""
+model (parity: /root/reference/scripts/pretrain_classifier.py; also
+subsumes the unregistered text variant scripts/pretrain_text_cls.py:13-40
+— its tokenizer-artifact export is the `tokenizer` branch below, and this
+module accepts both vanilla_bert and vanilla_vit)."""
 
 from __future__ import annotations
 
