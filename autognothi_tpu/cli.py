@@ -116,6 +116,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", default="127.0.0.1", type=str)
     p.add_argument("--port", default=8321, type=int)
     p.add_argument("--batch-size", dest="batch_size", default=8, type=int)
+    p.add_argument("--window", dest="window_s", default=0.0, type=float,
+                   help="max seconds a partial slab waits to coalesce "
+                        "concurrent requests (0 = only natural "
+                        "backpressure batching)")
 
     cmd("__show_fridge__", device=False)
     p = cmd("__preview_text_shapley__", dataset=True)
@@ -310,7 +314,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     elif command == "serve":
         from .pipeline.serve import serve
 
-        serve(env, args.host, args.port, args.batch_size)
+        serve(env, args.host, args.port, args.batch_size,
+              window_s=args.window_s)
     elif command == "__show_fridge__":
         from .pipeline.show_fridge import show_fridge
 

@@ -23,12 +23,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .batching import MicroBatcher
 from .env import ExpEnv
 from .resources import get_recipe, load_epoch_model
 
 
 class ExplainService:
-    def __init__(self, env: ExpEnv, batch_size: int = 8):
+    def __init__(self, env: ExpEnv, batch_size: int = 8,
+                 window_s: float = 0.0):
         self.env = env
         self.recipe, self.m_config = get_recipe(env.config)
         _, self.final_params = load_epoch_model(env, self.recipe, "final")
@@ -56,6 +58,21 @@ class ExplainService:
             self._fw = jax.jit(fw)
         self.batch_size = batch_size
         self._place_batch = place_batch
+
+        # cross-request dynamic batching: one dispatcher thread owns every
+        # device call and packs rows from concurrent HTTP handlers into one
+        # compiled slab.  window 0 still coalesces under load — while the
+        # device runs a slab, new requests queue and ride the next one.
+        def _run_slab(slab: np.ndarray):
+            logits, attr = self._fw(
+                self.final_params, self._place_batch(jnp.asarray(slab))
+            )
+            return np.asarray(logits), np.asarray(attr)
+
+        self._batcher = MicroBatcher(_run_slab, batch_size, window_s=window_s)
+
+    def close(self) -> None:
+        self._batcher.close()
 
     def warmup(self) -> None:
         null = np.repeat(
@@ -85,24 +102,15 @@ class ExplainService:
                 ) from err
         else:
             raise ValueError("payload needs 'texts' or 'images'")
-        n = xs.shape[0]
-        if n == 0:
+        if xs.shape[0] == 0:
             return {"logits": [], "attributions": []}
 
-        from ..utils.functional import iter_fixed_batches
-
-        logits_all, attr_all = [], []
-        # fixed-shape slabs: one compiled executable regardless of n
-        for (chunk,), real in iter_fixed_batches(
-            [np.asarray(xs)], self.batch_size
-        ):
-            logits, attr = self._fw(self.final_params,
-                                    self._place_batch(jnp.asarray(chunk)))
-            logits_all.append(np.asarray(logits)[:real])
-            attr_all.append(np.asarray(attr)[:real])
+        # the batcher slabs/pads to the compiled batch size and coalesces
+        # rows across concurrent requests; oversized requests span slabs
+        logits, attr = self._batcher.submit(np.asarray(xs))
         return {
-            "logits": np.concatenate(logits_all).tolist(),
-            "attributions": np.concatenate(attr_all).tolist(),
+            "logits": logits.tolist(),
+            "attributions": attr.tolist(),
         }
 
 
@@ -141,20 +149,25 @@ def make_server(
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def serve(env: ExpEnv, host: str, port: int, batch_size: int) -> None:
-    service = ExplainService(env, batch_size)
+def serve(env: ExpEnv, host: str, port: int, batch_size: int,
+          window_s: float = 0.0) -> None:
+    service = ExplainService(env, batch_size, window_s=window_s)
     env.log("[[[ warming up the compiled explain step... ]]]")
     service.warmup()
     server = make_server(service, host, port)
     env.log(f"[[[ serving explanations on http://{host}:{port} ]]]")
-    server.serve_forever()
+    try:
+        server.serve_forever()
+    finally:
+        service.close()
 
 
 def serve_in_thread(
-    env: ExpEnv, host: str = "127.0.0.1", port: int = 0, batch_size: int = 4
+    env: ExpEnv, host: str = "127.0.0.1", port: int = 0, batch_size: int = 4,
+    window_s: float = 0.0,
 ):
     """Test helper: returns (server, service, thread); port 0 picks a free one."""
-    service = ExplainService(env, batch_size)
+    service = ExplainService(env, batch_size, window_s=window_s)
     service.warmup()
     server = make_server(service, host, port)
     thread = threading.Thread(target=server.serve_forever, daemon=True)

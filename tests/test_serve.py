@@ -25,6 +25,7 @@ def served(tmp_path_factory):
     server, service, thread = serve_in_thread(env, port=0, batch_size=2)
     yield server, service
     server.shutdown()
+    service.close()
 
 
 def _post(server, path, payload):
@@ -73,3 +74,47 @@ def test_explain_empty_batch(served):
     status, body = _post(server, "/explain", {"images": []})
     assert status == 200
     assert body == {"logits": [], "attributions": []}
+
+
+def test_concurrent_requests_share_slabs(served):
+    """Cross-request dynamic batching: 4 concurrent 1-image requests on a
+    window>0 server coalesce into fewer device launches than requests."""
+    import threading
+
+    from autognothi_tpu.pipeline.serve import serve_in_thread
+
+    _, service = served
+    server2, service2, _ = serve_in_thread(
+        service.env, port=0, batch_size=4, window_s=0.3
+    )
+    try:
+        base = service2._batcher.slab_count
+        rng = np.random.RandomState(1)
+        images = [rng.randn(1, 3, 16, 16).tolist() for _ in range(4)]
+        results = [None] * 4
+
+        def post(i):
+            results[i] = _post(server2, "/explain", {"images": images[i]})
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i, (status, body) in enumerate(results):
+            assert status == 200
+            logits = np.asarray(body["logits"])
+            assert logits.shape == (1, 3)
+            np.testing.assert_allclose(logits.sum(axis=1), [1.0], atol=1e-4)
+        # 4 rows, slab 4: full coalescing = 1 launch; allow scheduler slack
+        assert service2._batcher.slab_count - base <= 3
+        # no cross-request row mixups: a coalesced answer equals a solo one
+        # (fw_final is per-row independent, so slab packing cannot change it)
+        _, body_solo = _post(server2, "/explain", {"images": images[2]})
+        np.testing.assert_allclose(
+            np.asarray(results[2][1]["logits"]),
+            np.asarray(body_solo["logits"]), atol=1e-5,
+        )
+    finally:
+        server2.shutdown()
+        service2.close()
