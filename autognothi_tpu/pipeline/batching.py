@@ -20,7 +20,12 @@ Design:
   the executable (ThreadingHTTPServer handlers previously each called into
   JAX themselves);
 - oversized requests span multiple slabs transparently (they keep their
-  place at the head of the queue until all their rows are consumed).
+  place at the head of the queue until all their rows are consumed);
+- with `depth > 1` the device->host result fetch is pipelined: the
+  dispatcher launches slab N+1 while a completer thread finalizes slab N
+  (on the remote-TPU tunnel dispatch is async and the result fetch is the
+  synchronous part — overlapping it hides ~25% of a serving step, the same
+  async-vs-fetch gap measured for train steps in BASELINE.md).
 
 Pure-Python + numpy; the device function is injected (`run_slab`), so tests
 exercise the packing logic without a model.
@@ -28,22 +33,26 @@ exercise the packing logic without a model.
 
 from __future__ import annotations
 
+import queue
 import threading
 import time
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-# run_slab: (xs <batch, ...>) -> tuple of np arrays, each <batch, ...>
-RunSlab = Callable[[np.ndarray], Tuple[np.ndarray, ...]]
+# run_slab: (xs <batch, ...>) -> tuple of per-output arrays, each <batch, ...>.
+# May return lazy device arrays; `finalize` (default np.asarray per output)
+# materializes them on the completer side.
+RunSlab = Callable[[np.ndarray], Tuple[Any, ...]]
 
 
 class _Request:
-    __slots__ = ("xs", "offset", "parts", "error", "done")
+    __slots__ = ("xs", "offset", "delivered", "parts", "error", "done")
 
     def __init__(self, xs: np.ndarray):
         self.xs = xs
-        self.offset = 0                      # rows already consumed
+        self.offset = 0                      # rows already packed into slabs
+        self.delivered = 0                   # rows whose outputs came back
         self.parts: List[Tuple[np.ndarray, ...]] = []  # per-slab output rows
         self.error: Optional[BaseException] = None
         self.done = threading.Event()
@@ -57,16 +66,36 @@ class MicroBatcher:
     """Packs rows from concurrent `submit` calls into fixed-size slabs."""
 
     def __init__(self, run_slab: RunSlab, batch_size: int,
-                 window_s: float = 0.003):
+                 window_s: float = 0.003, depth: int = 1,
+                 finalize: Optional[Callable[[Tuple[Any, ...]],
+                                             Tuple[np.ndarray, ...]]] = None):
         if batch_size < 1:
             raise ValueError("batch_size must be >= 1")
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
         self._run_slab = run_slab
+        self._finalize = finalize or (
+            lambda outs: tuple(np.asarray(o) for o in outs))
         self.batch_size = batch_size
         self.window_s = float(window_s)
+        self.depth = depth
         self._cv = threading.Condition()
         self._queue: List[_Request] = []
         self._closed = False
         self.slab_count = 0  # diagnostic: device launches so far
+        # depth > 1: in-flight slabs park here; a completer thread pays the
+        # device->host fetch while the dispatcher launches the next slab.
+        # maxsize bounds in-flight slabs (backpressure on the dispatcher).
+        self._inflight: Optional[queue.Queue] = (
+            queue.Queue(maxsize=depth - 1) if depth > 1 else None
+        )
+        self._completer: Optional[threading.Thread] = None
+        if self._inflight is not None:
+            self._completer = threading.Thread(
+                target=self._complete_loop, name="explain-completer",
+                daemon=True,
+            )
+            self._completer.start()
         self._thread = threading.Thread(
             target=self._loop, name="explain-microbatch", daemon=True
         )
@@ -97,6 +126,9 @@ class MicroBatcher:
             self._closed = True
             self._cv.notify_all()
         self._thread.join(timeout=5)
+        if self._inflight is not None:
+            self._inflight.put(None)  # after the dispatcher drained
+            self._completer.join(timeout=5)
 
     # --------------------------------------------------------------- dispatch
 
@@ -131,10 +163,13 @@ class MicroBatcher:
             room -= n
             if req.remaining == 0:
                 self._queue.pop(0)
-        slab = np.concatenate(chunks)
-        if room:  # pad with copies of the last row: jit-stable shapes
-            pad = np.broadcast_to(slab[-1:], (room,) + slab.shape[1:])
-            slab = np.concatenate([slab, pad])
+        if len(chunks) == 1 and not room:
+            slab = chunks[0]  # zero-copy: one request fills the slab exactly
+        else:
+            slab = np.concatenate(chunks)
+            if room:  # pad with copies of the last row: jit-stable shapes
+                pad = np.broadcast_to(slab[-1:], (room,) + slab.shape[1:])
+                slab = np.concatenate([slab, pad])
         return take, slab
 
     def _loop(self) -> None:
@@ -154,21 +189,49 @@ class MicroBatcher:
                         self._cv.wait(left)
                 take, slab = self._collect()
             try:
-                outs = self._run_slab(slab)
+                outs = self._run_slab(slab)  # possibly lazy device arrays
                 self.slab_count += 1
             except BaseException as exc:  # propagate to every waiter
-                with self._cv:
-                    for req, _, _ in take:
-                        req.error = exc
-                        if req in self._queue:  # drop any unconsumed tail
-                            self._queue.remove(req)
-                        req.done.set()
+                self._fail(take, exc)
                 continue
-            used = 0
-            for req, _, n in take:
-                req.parts.append(tuple(o[used:used + n] for o in outs))
-                used += n
-                if req.offset == req.xs.shape[0]:
+            if self._inflight is None:
+                self._settle(take, outs)
+            else:  # pipelined: the completer pays the fetch for this slab
+                self._inflight.put((take, outs))
+
+    # ------------------------------------------------------------- completion
+
+    def _complete_loop(self) -> None:
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            self._settle(*item)
+
+    def _settle(self, take, outs) -> None:
+        try:
+            outs_np = self._finalize(outs)
+        except BaseException as exc:  # device errors often surface at fetch
+            self._fail(take, exc)
+            return
+        used = 0
+        for req, _, n in take:
+            rows = tuple(o[used:used + n] for o in outs_np)
+            used += n
+            if req.error is not None:  # an earlier slab failed this request
+                continue
+            req.parts.append(rows)
+            req.delivered += n
+            if req.delivered == req.xs.shape[0]:
+                req.done.set()
+
+    def _fail(self, take, exc: BaseException) -> None:
+        with self._cv:
+            for req, _, _ in take:
+                if req.error is None:
+                    req.error = exc
+                    if req in self._queue:  # drop any unconsumed tail
+                        self._queue.remove(req)
                     req.done.set()
 
 

@@ -63,13 +63,16 @@ class ExplainService:
         # device call and packs rows from concurrent HTTP handlers into one
         # compiled slab.  window 0 still coalesces under load — while the
         # device runs a slab, new requests queue and ride the next one.
+        # depth=2 pipelines the device->host result fetch (the completer
+        # fetches slab N while the dispatcher launches N+1 — on the tunnel
+        # the fetch is the synchronous part of a serving step).
         def _run_slab(slab: np.ndarray):
-            logits, attr = self._fw(
+            return self._fw(  # lazy device arrays; the completer fetches
                 self.final_params, self._place_batch(jnp.asarray(slab))
             )
-            return np.asarray(logits), np.asarray(attr)
 
-        self._batcher = MicroBatcher(_run_slab, batch_size, window_s=window_s)
+        self._batcher = MicroBatcher(_run_slab, batch_size,
+                                     window_s=window_s, depth=2)
 
     def close(self) -> None:
         self._batcher.close()

@@ -116,6 +116,70 @@ def test_close_rejects_new_requests():
         b.submit(np.ones((1, 2)))
 
 
+def test_pipelined_depth2_matches_inline():
+    """depth=2 (completer thread pays the fetch) returns identical results,
+    including a request that spans multiple slabs."""
+    b = MicroBatcher(_echo_slab, batch_size=4, window_s=0.0, depth=2)
+    xs = np.random.RandomState(3).randn(11, 2)
+    sums, dbl = b.submit(xs)
+    np.testing.assert_allclose(sums, xs.sum(axis=1))
+    np.testing.assert_allclose(dbl, xs * 2.0)
+    assert b.slab_count == 3
+    b.close()
+
+
+def test_pipelined_lazy_finalize():
+    """run_slab may return lazy handles; finalize materializes them on the
+    completer side (the serve.py contract for device arrays)."""
+    fetched = []
+
+    def lazy_slab(xs):
+        return (lambda: xs.sum(axis=1),)  # a "future"
+
+    def finalize(outs):
+        fetched.append(True)
+        return tuple(np.asarray(o()) for o in outs)
+
+    b = MicroBatcher(lazy_slab, batch_size=2, window_s=0.0, depth=3,
+                     finalize=finalize)
+    (sums,) = b.submit(np.ones((5, 4)))
+    np.testing.assert_allclose(sums, np.full(5, 4.0))
+    assert len(fetched) == b.slab_count == 3
+    b.close()
+
+
+def test_pipelined_fetch_error_propagates():
+    """An error surfacing at finalize (how device errors appear on the
+    tunnel) reaches the submitter; the batcher keeps serving."""
+    state = {"fail": True}
+
+    def finalize(outs):
+        if state["fail"]:
+            raise RuntimeError("fetch-boom")
+        return tuple(np.asarray(o) for o in outs)
+
+    b = MicroBatcher(_echo_slab, batch_size=4, window_s=0.0, depth=2,
+                     finalize=finalize)
+    with pytest.raises(RuntimeError, match="fetch-boom"):
+        b.submit(np.ones((2, 2)))
+    state["fail"] = False
+    sums, _ = b.submit(np.ones((2, 2)))
+    np.testing.assert_allclose(sums, [2.0, 2.0])
+    b.close()
+
+
+def test_pipelined_concurrent_correctness():
+    """Concurrent distinct-valued requests through depth=2 each get exactly
+    their own rows back (no cross-request mixups under pipelining)."""
+    b = MicroBatcher(_echo_slab, batch_size=8, window_s=0.05, depth=2)
+    reqs = [np.full((3, 2), float(i)) for i in range(10)]
+    results = run_concurrent(b, reqs)
+    for xs, (sums, dbl) in zip(reqs, results):
+        np.testing.assert_allclose(sums, xs.sum(axis=1))
+        np.testing.assert_allclose(dbl, xs * 2.0)
+    b.close()
+
+
 def test_fifo_order_preserved_within_slab():
     seen = []
 

@@ -102,6 +102,45 @@ def test_bert_preview_text_shapley(bert_exp: pathlib.Path):
     preview_text_shapley(ExpEnv(bert_exp), loader, reps=2)
 
 
+def test_bert_serve_texts_round_trip(bert_exp: pathlib.Path):
+    """Text serving: tokenization happens server-side; the batcher slabs the
+    token-id arrays like image rows (depends on the trained module fixture)."""
+    import urllib.request
+
+    import numpy as np
+
+    from autognothi_tpu.pipeline.env import ExpEnv
+    from autognothi_tpu.pipeline.serve import serve_in_thread
+    from autognothi_tpu.pipeline.train_all import train_all
+
+    env = ExpEnv(bert_exp)
+    train_all(env)  # no-op when the earlier tests already trained this dir
+    server, service, _ = serve_in_thread(env, port=0, batch_size=2)
+    try:
+        host, port = server.server_address
+        req = urllib.request.Request(
+            f"http://{host}:{port}/explain",
+            data=json.dumps({"texts": [
+                "the service was outstanding",
+                "a total waste of time",
+                "surprisingly good",
+            ]}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            body = json.loads(resp.read())
+        logits = np.asarray(body["logits"])
+        attr = np.asarray(body["attributions"])
+        assert logits.shape == (3, 2)  # 3 texts (> batch 2: spans slabs)
+        # n_players for text = max_position_embeddings - special tokens
+        assert attr.shape[0] == 3 and attr.shape[1] == 2
+        np.testing.assert_allclose(logits.sum(axis=1), np.ones(3), atol=1e-4)
+    finally:
+        server.shutdown()
+        service.close()
+
+
 def test_tokenizer_roundtrip(bert_exp: pathlib.Path):
     from autognothi_tpu.data.tokenizer import WordPieceTokenizer
 
