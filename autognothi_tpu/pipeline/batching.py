@@ -10,9 +10,9 @@ than the per-request batch.
 
 Design:
 - requests enqueue their rows and block; a single dispatcher thread packs a
-  FIFO-contiguous, same-row-shape prefix of the queue into a slab of at most
-  `batch_size` rows, pads the remainder (edge rows), runs the compiled step,
-  and distributes the outputs back;
+  FIFO-contiguous, same-row-shape-and-dtype prefix of the queue into a slab
+  of at most `batch_size` rows, pads the remainder (edge rows), runs the
+  compiled step, and distributes the outputs back;
 - a slab launches immediately once `batch_size` rows are pending; a partial
   slab waits at most `window_s` from the moment the oldest pending request
   arrived (window 0 = never wait: coalesce only what is already queued);
@@ -133,13 +133,15 @@ class MicroBatcher:
     # --------------------------------------------------------------- dispatch
 
     def _pending_rows_same_shape(self) -> int:
-        """Rows in the FIFO-contiguous prefix sharing the head's row shape."""
+        """Rows in the FIFO-contiguous prefix sharing the head's row shape
+        and dtype (a slab must be homogeneous — it runs one executable)."""
         if not self._queue:
             return 0
-        shape = self._queue[0].xs.shape[1:]
+        head = self._queue[0].xs
+        shape, dtype = head.shape[1:], head.dtype
         total = 0
         for req in self._queue:
-            if req.xs.shape[1:] != shape:
+            if req.xs.shape[1:] != shape or req.xs.dtype != dtype:
                 break
             total += req.remaining
         return total
@@ -151,10 +153,11 @@ class MicroBatcher:
         take: List[Tuple[_Request, int, int]] = []
         chunks: List[np.ndarray] = []
         room = self.batch_size
-        shape = self._queue[0].xs.shape[1:]
+        head = self._queue[0].xs
+        shape, dtype = head.shape[1:], head.dtype
         while room and self._queue:
             req = self._queue[0]
-            if req.xs.shape[1:] != shape:
+            if req.xs.shape[1:] != shape or req.xs.dtype != dtype:
                 break
             n = min(room, req.remaining)
             take.append((req, req.offset, n))

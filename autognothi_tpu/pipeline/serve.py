@@ -9,6 +9,9 @@ executable after warmup.
 
     POST /explain {"texts": ["..."]}            # text models
     POST /explain {"images": [[[...]]], ...}    # image models (<C, H, W>)
+    POST /explain {"images_u8": [[[...]]], ...} # uint8 pixels, dequantized
+                                                # on device (4x less wire +
+                                                # host->device traffic)
     GET  /healthz
 """
 
@@ -17,7 +20,7 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +33,8 @@ from .resources import get_recipe, load_epoch_model
 
 class ExplainService:
     def __init__(self, env: ExpEnv, batch_size: int = 8,
-                 window_s: float = 0.0):
+                 window_s: float = 0.0,
+                 u8_dequant: Tuple[float, float] = (1.0 / 255.0, 0.0)):
         self.env = env
         self.recipe, self.m_config = get_recipe(env.config)
         _, self.final_params = load_epoch_model(env, self.recipe, "final")
@@ -45,6 +49,11 @@ class ExplainService:
 
         mesh, place_params, place_batch = setup_data_parallel()
         fw = lambda p, xs: self.recipe.fw_final(self.m_config, p, xs)  # noqa: E731
+        # uint8 wire format: dequantize on DEVICE (server-configured affine),
+        # so the host->device link carries 1 byte/pixel instead of 4
+        scale, offset = u8_dequant
+        fw_u8 = lambda p, xs: fw(  # noqa: E731
+            p, xs.astype(jnp.float32) * scale + offset)
         if mesh is not None:
             n = mesh.devices.size
             batch_size = ((batch_size + n - 1) // n) * n
@@ -54,8 +63,10 @@ class ExplainService:
             # shard_map (not plain GSPMD jit): the fused Pallas kernels
             # would otherwise run replicated behind all-gathers
             self._fw = sharded_serving_fn(fw, mesh)
+            self._fw_u8 = sharded_serving_fn(fw_u8, mesh)
         else:
             self._fw = jax.jit(fw)
+            self._fw_u8 = jax.jit(fw_u8)
         self.batch_size = batch_size
         self._place_batch = place_batch
 
@@ -67,7 +78,10 @@ class ExplainService:
         # fetches slab N while the dispatcher launches N+1 — on the tunnel
         # the fetch is the synchronous part of a serving step).
         def _run_slab(slab: np.ndarray):
-            return self._fw(  # lazy device arrays; the completer fetches
+            # dtype-homogeneous slabs (the batcher splits on row dtype);
+            # uint8 slabs run the dequantizing executable
+            run = self._fw_u8 if slab.dtype == np.uint8 else self._fw
+            return run(  # lazy device arrays; the completer fetches
                 self.final_params, self._place_batch(jnp.asarray(slab))
             )
 
@@ -103,8 +117,20 @@ class ExplainService:
                     "'images' must be a rectangular numeric array of shape "
                     f"<B, C, H, W> ({err})"
                 ) from err
+        elif "images_u8" in payload:
+            # compact wire format: uint8 pixels + affine dequant, applied on
+            # DEVICE (x * scale + offset) — 4x less host->device traffic
+            # than f32 rows, which bounds image serving throughput long
+            # before the chip does (playground/bench_serve.py)
+            try:
+                xs = np.asarray(payload["images_u8"], dtype=np.uint8)
+            except (ValueError, TypeError) as err:
+                raise ValueError(
+                    "'images_u8' must be rectangular uint8 <B, C, H, W> "
+                    f"({err})"
+                ) from err
         else:
-            raise ValueError("payload needs 'texts' or 'images'")
+            raise ValueError("payload needs 'texts', 'images' or 'images_u8'")
         if xs.shape[0] == 0:
             return {"logits": [], "attributions": []}
 

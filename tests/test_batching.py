@@ -84,6 +84,26 @@ def test_mixed_row_shapes_split_into_separate_slabs():
     b.close()
 
 
+def test_mixed_dtypes_split_into_separate_slabs():
+    """f32 and u8 rows of the same shape never share a slab (each dtype has
+    its own compiled executable — serve.py's images vs images_u8)."""
+    dtypes = []
+
+    def record(xs):
+        dtypes.append(xs.dtype)
+        assert xs.dtype in (np.float32, np.uint8)  # no silent upcast
+        return _echo_slab(xs.astype(np.float64))
+
+    b = MicroBatcher(record, batch_size=8, window_s=0.1)
+    f32 = np.ones((2, 3), np.float32)
+    u8 = np.full((2, 3), 128, np.uint8)
+    r_f, r_u = run_concurrent(b, [f32, u8])
+    np.testing.assert_allclose(r_f[0], [3.0, 3.0])
+    np.testing.assert_allclose(r_u[0], [384.0, 384.0])
+    assert set(dtypes) == {np.dtype(np.float32), np.dtype(np.uint8)}
+    b.close()
+
+
 def test_error_propagates_to_submitter_and_batcher_survives():
     state = {"fail": True}
 

@@ -76,6 +76,25 @@ def test_explain_empty_batch(served):
     assert body == {"logits": [], "attributions": []}
 
 
+def test_explain_images_u8_wire_format(served):
+    """uint8 pixels dequantize on device; result tracks the f32 path within
+    quantization error of the inputs."""
+    server, _ = served
+    rng = np.random.RandomState(7)
+    u8 = rng.randint(0, 256, size=(2, 3, 16, 16), dtype=np.uint8)
+    status, body = _post(server, "/explain", {"images_u8": u8.tolist()})
+    assert status == 200
+    logits_u8 = np.asarray(body["logits"])
+    assert logits_u8.shape == (2, 3)
+    np.testing.assert_allclose(logits_u8.sum(axis=1), np.ones(2), atol=1e-4)
+    # the f32 path on the dequantized pixels gives the same answer
+    f32 = (u8.astype(np.float32) / 255.0).tolist()
+    status, body = _post(server, "/explain", {"images": f32})
+    assert status == 200
+    np.testing.assert_allclose(
+        logits_u8, np.asarray(body["logits"]), atol=1e-3)
+
+
 def test_concurrent_requests_share_slabs(served):
     """Cross-request dynamic batching: 4 concurrent 1-image requests on a
     window>0 server coalesce into fewer device launches than requests."""
