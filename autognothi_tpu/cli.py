@@ -120,6 +120,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max seconds a partial slab waits to coalesce "
                         "concurrent requests (0 = only natural "
                         "backpressure batching)")
+    p.add_argument("--u8-scale", dest="u8_scale", default=1.0 / 255.0,
+                   type=float, help="device-side dequant scale for "
+                                    "images_u8 payloads")
+    p.add_argument("--u8-offset", dest="u8_offset", default=0.0,
+                   type=float, help="device-side dequant offset for "
+                                    "images_u8 payloads")
 
     cmd("__show_fridge__", device=False)
     p = cmd("__preview_text_shapley__", dataset=True)
@@ -315,7 +321,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         from .pipeline.serve import serve
 
         serve(env, args.host, args.port, args.batch_size,
-              window_s=args.window_s)
+              window_s=args.window_s,
+              u8_dequant=(args.u8_scale, args.u8_offset))
     elif command == "__show_fridge__":
         from .pipeline.show_fridge import show_fridge
 

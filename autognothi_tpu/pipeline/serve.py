@@ -179,8 +179,10 @@ def make_server(
 
 
 def serve(env: ExpEnv, host: str, port: int, batch_size: int,
-          window_s: float = 0.0) -> None:
-    service = ExplainService(env, batch_size, window_s=window_s)
+          window_s: float = 0.0,
+          u8_dequant: Tuple[float, float] = (1.0 / 255.0, 0.0)) -> None:
+    service = ExplainService(env, batch_size, window_s=window_s,
+                             u8_dequant=u8_dequant)
     env.log("[[[ warming up the compiled explain step... ]]]")
     service.warmup()
     server = make_server(service, host, port)
