@@ -47,7 +47,8 @@ RunSlab = Callable[[np.ndarray], Tuple[Any, ...]]
 
 
 class _Request:
-    __slots__ = ("xs", "offset", "delivered", "parts", "error", "done")
+    __slots__ = ("xs", "offset", "delivered", "parts", "error", "done",
+                 "t_enq")
 
     def __init__(self, xs: np.ndarray):
         self.xs = xs
@@ -56,6 +57,7 @@ class _Request:
         self.parts: List[Tuple[np.ndarray, ...]] = []  # per-slab output rows
         self.error: Optional[BaseException] = None
         self.done = threading.Event()
+        self.t_enq = time.monotonic()        # the coalescing-window anchor
 
     @property
     def remaining(self) -> int:
@@ -122,13 +124,17 @@ class MicroBatcher:
         return tuple(np.concatenate(rows) for rows in outs)
 
     def close(self) -> None:
+        """Drain the queue and stop both threads.  Blocks until every
+        pending request has been dispatched and completed — a bounded join
+        here could enqueue the completer's sentinel BEFORE the dispatcher's
+        final slab, stranding its submitters forever."""
         with self._cv:
             self._closed = True
             self._cv.notify_all()
-        self._thread.join(timeout=5)
+        self._thread.join()
         if self._inflight is not None:
-            self._inflight.put(None)  # after the dispatcher drained
-            self._completer.join(timeout=5)
+            self._inflight.put(None)  # after the dispatcher fully drained
+            self._completer.join()
 
     # --------------------------------------------------------------- dispatch
 
@@ -166,13 +172,12 @@ class MicroBatcher:
             room -= n
             if req.remaining == 0:
                 self._queue.pop(0)
+        from ..utils.functional import pad_to
+
         if len(chunks) == 1 and not room:
             slab = chunks[0]  # zero-copy: one request fills the slab exactly
-        else:
-            slab = np.concatenate(chunks)
-            if room:  # pad with copies of the last row: jit-stable shapes
-                pad = np.broadcast_to(slab[-1:], (room,) + slab.shape[1:])
-                slab = np.concatenate([slab, pad])
+        else:  # edge-pad with the last row: jit-stable shapes
+            slab = pad_to(np.concatenate(chunks), self.batch_size)
         return take, slab
 
     def _loop(self) -> None:
@@ -183,13 +188,23 @@ class MicroBatcher:
                 if self._closed and not self._queue:
                     return
                 if self.window_s > 0:
-                    deadline = time.monotonic() + self.window_s
-                    while (self._pending_rows_same_shape() < self.batch_size
+                    # the window anchors at the OLDEST pending request's
+                    # arrival, not at dispatcher wake-up: a request that
+                    # already waited out its budget while the device ran the
+                    # previous slab dispatches immediately
+                    while (self._queue
+                           and self._pending_rows_same_shape()
+                           < self.batch_size
                            and not self._closed):
-                        left = deadline - time.monotonic()
+                        oldest = min(r.t_enq for r in self._queue)
+                        left = oldest + self.window_s - time.monotonic()
                         if left <= 0:
                             break
                         self._cv.wait(left)
+                if not self._queue:
+                    # a completer-side _fail can drain the queue while the
+                    # lock was released in wait() — never index an empty one
+                    continue
                 take, slab = self._collect()
             try:
                 outs = self._run_slab(slab)  # possibly lazy device arrays

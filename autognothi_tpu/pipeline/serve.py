@@ -102,6 +102,15 @@ class ExplainService:
         # reports ready while the first real request pays the multi-minute
         # compile (measured: "warmup" returned in 3 s, first request 226 s)
         np.asarray(jax.tree.leaves(out)[0])
+        if np.issubdtype(null.dtype, np.floating):
+            # image models: also compile the uint8 wire-format executable
+            # now — it would otherwise compile inside the single dispatcher
+            # thread at the first images_u8 request, stalling ALL traffic
+            # for the multi-minute tunnel compile warmup exists to prevent
+            u8 = np.clip(null * 255.0, 0, 255).astype(np.uint8)
+            out = self._fw_u8(
+                self.final_params, self._place_batch(jnp.asarray(u8)))
+            np.asarray(jax.tree.leaves(out)[0])
 
     def explain(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         if "texts" in payload:

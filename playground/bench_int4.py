@@ -52,7 +52,6 @@ def main():
 
     # --- int4 via XLA (if the dtype lowers at all on this backend) ---
     try:
-        a4 = a8.astype(jnp.int4)  # values in [-8,7] after astype? clamp first
         a4 = jnp.clip(a8, -8, 7).astype(jnp.int4)
         b4 = jnp.clip(b8, -8, 7).astype(jnp.int4)
         dt, tf = timed(jax.jit(lambda x, y: jnp.dot(

@@ -188,6 +188,38 @@ def test_pipelined_fetch_error_propagates():
     b.close()
 
 
+def test_dispatcher_survives_completer_fail_during_window_wait():
+    """Regression: with depth=2 and window>0, a fetch failure in the
+    completer removes the spanning request from the queue while the
+    dispatcher sleeps in its coalescing window — the dispatcher must not
+    index the now-empty queue, and must keep serving afterwards."""
+    state = {"fail": True}
+
+    def finalize(outs):
+        if state["fail"]:
+            raise RuntimeError("fetch-boom")
+        return tuple(np.asarray(o) for o in outs)
+
+    b = MicroBatcher(_echo_slab, batch_size=4, window_s=0.3, depth=2,
+                     finalize=finalize)
+    errors = []
+
+    def doomed():
+        try:
+            b.submit(np.ones((6, 2)))  # slab 1 (4 rows) + 2 pending rows
+        except RuntimeError as exc:
+            errors.append(exc)
+
+    t = threading.Thread(target=doomed)
+    t.start()
+    t.join(timeout=10)
+    assert not t.is_alive() and len(errors) == 1
+    state["fail"] = False
+    sums, _ = b.submit(np.ones((2, 2)))  # the dispatcher must still be alive
+    np.testing.assert_allclose(sums, [2.0, 2.0])
+    b.close()
+
+
 def test_pipelined_concurrent_correctness():
     """Concurrent distinct-valued requests through depth=2 each get exactly
     their own rows back (no cross-request mixups under pipelining)."""
@@ -201,32 +233,34 @@ def test_pipelined_concurrent_correctness():
 
 
 def test_fifo_order_preserved_within_slab():
+    """Requests that genuinely coexist in the queue share a slab with each
+    request's rows contiguous (no interleaving)."""
     seen = []
+    gate = threading.Event()
 
     def record(xs):
+        gate.wait(5)  # hold the first slab until both requests are queued
         seen.append(xs.copy())
         return _echo_slab(xs)
 
-    b = MicroBatcher(record, batch_size=4, window_s=0.3)
-    # hold the dispatcher busy so both requests queue together
-    ev = threading.Event()
-
-    def submit(v):
-        ev.wait()
-        return b.submit(np.full((2, 2), v))
-
-    t1 = threading.Thread(target=submit, args=(1.0,))
-    t2 = threading.Thread(target=submit, args=(2.0,))
-    t1.start()
-    ev.set()
-    t1.join(timeout=5)
-    t2.start()
-    t2.join(timeout=5)
+    b = MicroBatcher(record, batch_size=4, window_s=0.0)
+    blocker = threading.Thread(target=b.submit, args=(np.zeros((1, 2)),))
+    blocker.start()
+    time.sleep(0.05)  # dispatcher picks the blocker up, parks in record()
+    threads = [threading.Thread(target=b.submit,
+                                args=(np.full((2, 2), v),))
+               for v in (1.0, 2.0)]
+    for t in threads:
+        t.start()
+    time.sleep(0.2)  # both requests enqueue while the dispatcher is parked
+    gate.set()
+    for t in [blocker] + threads:
+        t.join(timeout=10)
     b.close()
-    # every slab's rows are request-contiguous (no interleaving)
+    # the two 2-row requests coalesced into one 4-row slab...
+    assert any(s.shape[0] == 4 and set(s[:, 0]) == {1.0, 2.0} for s in seen)
+    # ...and every slab's rows are request-contiguous (no interleaving)
     for slab in seen:
         vals = slab[:, 0]
-        # changes of value along the slab happen at most batch-1 times and
-        # each value appears in one contiguous run
         runs = [v for i, v in enumerate(vals) if i == 0 or vals[i - 1] != v]
         assert len(runs) == len(set(runs))
