@@ -85,6 +85,8 @@ class MicroBatcher:
         self._queue: List[_Request] = []
         self._closed = False
         self.slab_count = 0  # diagnostic: device launches so far
+        self.row_count = 0   # real (unpadded) rows dispatched
+        self.request_count = 0
         # depth > 1: in-flight slabs park here; a completer thread pays the
         # device->host fetch while the dispatcher launches the next slab.
         # maxsize bounds in-flight slabs (backpressure on the dispatcher).
@@ -116,12 +118,25 @@ class MicroBatcher:
             if self._closed:
                 raise RuntimeError("batcher is closed")
             self._queue.append(req)
+            self.request_count += 1
             self._cv.notify_all()
         req.done.wait()
         if req.error is not None:
             raise req.error
         outs = zip(*req.parts)
         return tuple(np.concatenate(rows) for rows in outs)
+
+    def stats(self) -> dict:
+        """Occupancy diagnostics: how well concurrent traffic packs slabs
+        (occupancy 1.0 = zero padded-slot waste)."""
+        capacity = self.slab_count * self.batch_size
+        return {
+            "requests": self.request_count,
+            "rows": self.row_count,
+            "slabs": self.slab_count,
+            "batch_size": self.batch_size,
+            "occupancy": (self.row_count / capacity) if capacity else None,
+        }
 
     def close(self) -> None:
         """Drain the queue and stop both threads.  Blocks until every
@@ -170,6 +185,7 @@ class MicroBatcher:
             chunks.append(req.xs[req.offset:req.offset + n])
             req.offset += n
             room -= n
+            self.row_count += n
             if req.remaining == 0:
                 self._queue.pop(0)
         from ..utils.functional import pad_to

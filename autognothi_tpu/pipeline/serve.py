@@ -13,6 +13,7 @@ executable after warmup.
                                                 # on device (4x less wire +
                                                 # host->device traffic)
     GET  /healthz
+    GET  /statz                                 # slab-occupancy diagnostics
 """
 
 from __future__ import annotations
@@ -170,6 +171,9 @@ def make_server(
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok"})
+            elif self.path == "/statz":
+                # slab occupancy: how well concurrent traffic coalesces
+                self._reply(200, service._batcher.stats())
             else:
                 self._reply(404, {"error": "not found"})
 

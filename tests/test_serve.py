@@ -76,6 +76,21 @@ def test_explain_empty_batch(served):
     assert body == {"logits": [], "attributions": []}
 
 
+def test_statz_reports_occupancy(served):
+    server, service = served
+    host, port = server.server_address
+    # ensure at least one slab has run
+    _post(server, "/explain",
+          {"images": np.zeros((1, 3, 16, 16)).tolist()})
+    with urllib.request.urlopen(f"http://{host}:{port}/statz",
+                                timeout=30) as r:
+        stats = json.loads(r.read())
+    assert stats["batch_size"] == service.batch_size
+    assert stats["slabs"] >= 1 and stats["rows"] >= 1
+    assert 0.0 < stats["occupancy"] <= 1.0
+    assert stats["rows"] <= stats["slabs"] * stats["batch_size"]
+
+
 def test_explain_images_u8_wire_format(served):
     """uint8 pixels dequantize on device; result tracks the f32 path within
     quantization error of the inputs."""
