@@ -399,7 +399,8 @@ def bert_explainer_head(
     w3, b3 = p["explainer_mlp.4.weight"], p["explainer_mlp.4.bias"]
     if (pallas_mode() == "2" and quant_mode() == "int8" and h.ndim == 3
             and w1.shape[0] == w2.shape[0]
-            and head_fits_vmem(h.shape[-1], w1.shape[0], h.shape[-2])):
+            and head_fits_vmem(h.shape[-1], w1.shape[0], h.shape[-2],
+                               w3.shape[0])):
         out = explainer_head_block(h, w1, b1, w2, b2, w3, b3, None, None,
                                    1e-5, use_pallas=True, quant="int8")
     else:

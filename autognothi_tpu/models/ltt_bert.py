@@ -216,7 +216,7 @@ def ltt_bert_encoder(
         jnp.zeros((b_sz, t, cfg.s_attn_hidden_size), dtype) for _ in branches
     ]
 
-    from .common import pallas_mode
+    from .common import fused_dims_ok, pallas_mode
 
     dropout_off = deterministic or (
         cfg.attention_probs_dropout_prob == 0.0
@@ -224,6 +224,7 @@ def ltt_bert_encoder(
     )
     use_ladder_kernel = (
         pallas_mode() == "2" and dropout_off and len(branches) > 0
+        and fused_dims_ok(cfg.s_attn_hidden_size)
     )
 
     def _ladder_weights(maps, layers):
@@ -417,7 +418,8 @@ def ltt_bert_explainer_head(
     w3, b3 = p[f"{mlp_prefix}.4.weight"], p[f"{mlp_prefix}.4.bias"]
     if (pallas_mode() == "2" and quant_mode() == "int8" and side.ndim == 3
             and w1.shape[0] == w2.shape[0]
-            and head_fits_vmem(side.shape[-1], w1.shape[0], side.shape[-2])):
+            and head_fits_vmem(side.shape[-1], w1.shape[0], side.shape[-2],
+                               w3.shape[0])):
         out = explainer_head_block(side, w1, b1, w2, b2, w3, b3, None, None,
                                    1e-5, use_pallas=True, quant="int8")
     else:

@@ -209,7 +209,7 @@ def ltt_vit_backbone(
         jnp.zeros((b_sz, t, cfg.s_attn_hidden_size), dtype) for _ in branches
     ]
 
-    from .common import pallas_mode
+    from .common import fused_dims_ok, pallas_mode
 
     dropout_off = deterministic or (
         cfg.attention_probs_dropout_prob == 0.0
@@ -217,6 +217,7 @@ def ltt_vit_backbone(
     )
     use_ladder_kernel = (
         pallas_mode() == "2" and dropout_off and len(branches) > 0
+        and fused_dims_ok(cfg.s_attn_hidden_size)
     )
 
     def _ladder_weights(maps, layers):
@@ -475,11 +476,12 @@ def ltt_vit_surrogate_coalitions_fwd(
     side_cfg = cfg.side()
     side0 = jnp.zeros((b * m, t, cfg.s_attn_hidden_size), dtype)
 
-    from .common import pallas_mode
+    from .common import fused_dims_ok, pallas_mode
 
-    use_ladder_kernel = pallas_mode() == "2" and (
-        deterministic or (cfg.attention_probs_dropout_prob == 0.0
-                          and cfg.hidden_dropout_prob == 0.0)
+    use_ladder_kernel = (
+        pallas_mode() == "2" and fused_dims_ok(cfg.s_attn_hidden_size)
+        and (deterministic or (cfg.attention_probs_dropout_prob == 0.0
+                               and cfg.hidden_dropout_prob == 0.0))
     )
 
     def body(carry, xs):

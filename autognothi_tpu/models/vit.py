@@ -397,7 +397,8 @@ def explainer_mlp_head(p: Params, h: jax.Array,
     ln_w, ln_b = p[f"{prefix}.0.weight"], p[f"{prefix}.0.bias"]
     if (pallas_mode() == "2" and quant_mode() == "int8" and h.ndim == 3
             and w1.shape[0] == w2.shape[0]
-            and head_fits_vmem(h.shape[-1], w1.shape[0], h.shape[-2])):
+            and head_fits_vmem(h.shape[-1], w1.shape[0], h.shape[-2],
+                               w3.shape[0])):
         return explainer_head_block(
             h, w1, b1, w2, b2, w3, b3, ln_w, ln_b, 1e-5,
             use_pallas=True, quant="int8",

@@ -333,8 +333,11 @@ _VMEM_BUDGET_BYTES = 15 * 1024 * 1024
 def interpret_default() -> bool:
     """AUTOGNOTHI_PALLAS_INTERPRET=1: run the kernels through the Pallas
     interpreter (works on any backend) — CI coverage of the kernel dispatch
-    path and kernel x GSPMD composition on the virtual CPU mesh."""
-    return os.environ.get("AUTOGNOTHI_PALLAS_INTERPRET") == "1"
+    path and kernel x GSPMD composition on the virtual CPU mesh.
+    Single source of truth: models.common.pallas_interpret."""
+    from ..models.common import pallas_interpret
+
+    return pallas_interpret()
 
 
 def _fits_vmem(resid, quant: str = "none", group: int = 1) -> bool:

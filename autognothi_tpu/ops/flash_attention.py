@@ -113,6 +113,9 @@ def masked_attention(
     """Kernel forward + full-precision XLA custom_vjp backward (the fused
     kernels' convention — differentiating a raw pallas_call has no autodiff
     rule)."""
+    from .attention_block import interpret_default
+
+    interpret = interpret or interpret_default()
     return _make_masked_attention(mode, interpret)(q, k, v, mask_row)
 
 

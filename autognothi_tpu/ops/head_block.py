@@ -94,15 +94,19 @@ def _kernel_q(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _pick_tile(t: int, h_in: int, inter: int) -> Optional[int]:
+def _pick_tile(t: int, h_in: int, inter: int, c: int) -> Optional[int]:
     """Largest token tile whose weights+activations fit the VMEM budget."""
-    weights = h_in * inter + inter * inter + inter * 128 * 2  # int8 + w3 bf16
+    # int8 w1/w2 + the ACTUAL <inter, C> bf16 w3 (a 1000-class head keeps
+    # ~6 MB of w3 resident — padding C up to a lane of 128 for the tile)
+    c_pad = max(c, 128)
+    weights = h_in * inter + inter * inter + inter * c_pad * 2
     chunk = inter // _n_chunks(inter)
     for tile in (256, 128, 64, 32):
         acts = (
             tile * h_in * (4 + 2)        # f32 LN copy + bf16 in
             + tile * inter * (4 + 1)     # f32 h + its int8 row-quant copy
             + tile * chunk * (4 + 4 + 2)  # int32 acc2 + f32 h2 + bf16 h2
+            + tile * c_pad * (4 + 4)     # f32 out accumulator + out tile
         )
         if weights + acts < _VMEM_BUDGET_BYTES and tile <= max(t, 32):
             return tile
@@ -114,7 +118,7 @@ def _pallas_head_q(x, w1t, b1, w2t, b2, w3t, b3, ln_w, ln_b,
     b, t, h_in = x.shape
     inter = w1t.shape[1]
     c = w3t.shape[1]
-    tile = _pick_tile(t, h_in, inter)
+    tile = _pick_tile(t, h_in, inter, c)
     assert tile is not None  # guarded by head_fits_vmem
     n_tiles = (t + tile - 1) // tile
 
@@ -169,8 +173,8 @@ def _make_head_fn(ln_eps: float, has_ln: bool, interpret: bool):
     return head
 
 
-def head_fits_vmem(h_in: int, inter: int, t: int) -> bool:
-    return _pick_tile(t, h_in, inter) is not None
+def head_fits_vmem(h_in: int, inter: int, t: int, c: int = 128) -> bool:
+    return _pick_tile(t, h_in, inter, c) is not None
 
 
 def explainer_head_block(
@@ -197,6 +201,7 @@ def explainer_head_block(
         ln_b = jnp.zeros((x.shape[-1],), x.dtype)
     args = (x, w1.T, b1, w2.T, b2, w3.T, b3, ln_w, ln_b)
     if (use_pallas and quant == "int8" and x.ndim == 3
-            and head_fits_vmem(x.shape[-1], w1.shape[0], x.shape[-2])):
+            and head_fits_vmem(x.shape[-1], w1.shape[0], x.shape[-2],
+                               w3.shape[0])):
         return _make_head_fn(float(ln_eps), has_ln, interpret)(*args)
     return _xla_head(*args, ln_eps=float(ln_eps), has_ln=has_ln)

@@ -61,10 +61,19 @@ def maybe_initialize_distributed(env: Optional[dict] = None) -> bool:
     if coord == "auto":
         jax.distributed.initialize()
     else:
+        nprocs = env.get("AUTOGNOTHI_DIST_NPROCS")
+        proc_id = env.get("AUTOGNOTHI_DIST_PROC_ID")
+        if nprocs is None or proc_id is None:
+            raise RuntimeError(
+                "AUTOGNOTHI_DIST_COORD is set but "
+                "AUTOGNOTHI_DIST_NPROCS/AUTOGNOTHI_DIST_PROC_ID are not — "
+                "set both (total process count and this process's index), "
+                "or use AUTOGNOTHI_DIST_COORD=auto on a TPU pod"
+            )
         jax.distributed.initialize(
             coordinator_address=coord,
-            num_processes=int(env["AUTOGNOTHI_DIST_NPROCS"]),
-            process_id=int(env["AUTOGNOTHI_DIST_PROC_ID"]),
+            num_processes=int(nprocs),
+            process_id=int(proc_id),
         )
     maybe_initialize_distributed._done = True
     return True

@@ -134,6 +134,14 @@ def setup_data_parallel():
     return mesh, place_params, place_batch
 
 
+def _smap():
+    try:
+        from jax import shard_map as smap  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as smap
+    return smap
+
+
 def sharded_serving_fn(fn, mesh: Mesh):
     """Wrap a batch-parallel serving forward `fn(params, xs) -> pytree`
     in shard_map over the "data" axis: params replicated, xs and every
@@ -145,10 +153,7 @@ def sharded_serving_fn(fn, mesh: Mesh):
     8-device mesh, tests/test_pallas_gspmd.py).  Inside shard_map each
     device traces the kernels on its LOCAL batch shard, so the fused
     Pallas serving path actually scales with chips."""
-    try:
-        from jax import shard_map as smap  # jax >= 0.8
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map as smap
+    smap = _smap()
 
     def wrapped(params, xs):
         p_specs = jax.tree.map(lambda _: P(), params)
@@ -162,14 +167,6 @@ def sharded_serving_fn(fn, mesh: Mesh):
     return jax.jit(wrapped)
 
 
-def _smap():
-    try:
-        from jax import shard_map as smap  # jax >= 0.8
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map as smap
-    return smap
-
-
 def sharded_call(fn, mesh: Mesh, in_axes, out_axes=0):
     """`fn(*args)` under shard_map over the "data" axis — the generic form
     of sharded_serving_fn for the eval-report sweeps (SURVEY §2.9: the
@@ -177,8 +174,11 @@ def sharded_call(fn, mesh: Mesh, in_axes, out_axes=0):
 
     in_axes: one entry per positional arg — an int axis to split along
     "data", or None to replicate (pytree args replicate whole).  Outputs
-    are reassembled along `out_axes` when that dim divides the mesh, else
-    replicated.  Composable inside jit.  Unlike plain GSPMD jit this keeps
+    are reassembled along `out_axes`; an output whose `out_axes` dim does
+    not divide the mesh raises (with check_vma off, a replicated out-spec
+    would silently report ONE device's shard-local value as the global
+    result).  Pass out_axes=None only when every output is genuinely
+    identical across shards.  Composable inside jit.  Unlike plain GSPMD jit this keeps
     pallas_call kernels per-shard (they otherwise run replicated behind
     all-gathers — tests/test_pallas_gspmd.py).  Sharded input dims must
     divide the mesh (see sharded_eval_fn for the ragged fallback)."""
@@ -197,9 +197,16 @@ def sharded_call(fn, mesh: Mesh, in_axes, out_axes=0):
 
         def ospec(s):
             nd = len(s.shape)
-            if (out_axes is None or nd <= out_axes
-                    or s.shape[out_axes] % n != 0):
+            if out_axes is None:  # caller asserts shard-identical outputs
                 return P(*([None] * nd))
+            if nd <= out_axes or s.shape[out_axes] % n != 0:
+                raise ValueError(
+                    f"sharded_call: output shape {s.shape} cannot shard "
+                    f"along axis {out_axes} over {n} devices — a replicated "
+                    "out-spec under check_vma=False would silently return "
+                    "one shard's local value; restructure the output or "
+                    "pass out_axes=None if it is provably shard-identical"
+                )
             return axis_spec(nd, out_axes)
 
         o_specs = jax.tree.map(ospec, outs)
@@ -215,7 +222,7 @@ def sharded_eval_fn(fn, mesh: Optional[Mesh], in_axes, out_axes=0):
     mesh None -> plain jit (single device; fused kernels stay on).  With a
     mesh: batch shapes that divide it run per-shard under shard_map
     (kernels included); ragged final batches fall back to the XLA path
-    (pallas pinned off — pipeline.training.mesh_safe_pallas rationale),
+    (pallas pinned off — parallel.train_step.mesh_safe_pallas rationale),
     computed under whatever placement the caller gave the operands."""
     if mesh is None:
         return jax.jit(fn)

@@ -37,7 +37,7 @@ from ..ops.shapley import loss_shapley, mask_shapley
 from ..recipes.types import ModelRecipe, Params, surrogate_coalition_values
 
 
-def _mesh_safe_pallas():
+def mesh_safe_pallas():
     """Multi-device steps pin their traced model regions to the XLA path:
     GSPMD partitions XLA ops along the data mesh, but a pallas_call would
     run REPLICATED behind all-gathers (models.common.pallas_override /
@@ -96,7 +96,7 @@ def _make_teacher(
 
             return sharded_call(inner, mesh, in_axes=(None, 0, 0),
                                 out_axes=0)(srg_params, xs, masks_bmp)
-        with _mesh_safe_pallas():
+        with mesh_safe_pallas():
             return inner(srg_params, xs, masks_bmp)
 
     return teacher
@@ -125,7 +125,7 @@ def make_explainer_train_step(
                 weights):
         b = masks_bmp.shape[0]
         mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
-        with _mesh_safe_pallas(), quant_override("none"):
+        with mesh_safe_pallas(), quant_override("none"):
             # differentiated fwd stays bf16
             phi, _ = recipe.fw_explainer(
                 m_config, params, xs, mask_1, v_1, v_0,
@@ -178,7 +178,7 @@ def make_explainer_eval_step(
         masks = masks.reshape(b, n_mask_samples, n_players)
         v_s, v_1 = teacher(srg_params, xs, masks)
         mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
-        with _mesh_safe_pallas():
+        with mesh_safe_pallas():
             phi, _ = recipe.fw_explainer(
                 m_config, params, xs, mask_1, v_1, surrogate_null,
                 **_ltt_kwargs(recipe, ltt_active),

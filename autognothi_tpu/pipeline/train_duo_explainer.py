@@ -68,14 +68,14 @@ def train_duo_explainer(env: ExpEnv) -> None:
     # the shared teacher helper: int8 no-grad sweep by default, pinned to
     # XLA / routed through shard_map under a mesh exactly like the
     # single-explainer step (parallel.train_step._make_teacher)
-    from ..parallel.train_step import _make_teacher, _mesh_safe_pallas
+    from ..parallel.train_step import _make_teacher, mesh_safe_pallas
 
     teacher = jax.jit(_make_teacher(recipe, m_config, n_players, mesh))
 
     def joint_loss(p, xs, zs, masks_bmp, v_0, v_s, v_1, rng, weights):
         b = masks_bmp.shape[0]
         mask_1 = jnp.ones((b, n_players), jnp.int32)
-        with _mesh_safe_pallas(), quant_override("none"):
+        with mesh_safe_pallas(), quant_override("none"):
             # differentiated fwd stays bf16 so the
             # custom_vjp gradients match the forward math (train_step.py)
             phi, base_ys = recipe.fw_explainer(

@@ -39,22 +39,6 @@ ADAMW_EPS = 1e-8
 ADAMW_WEIGHT_DECAY = 1e-2
 
 
-def mesh_safe_pallas(mesh):
-    """Context for traced model regions whose operands are GSPMD-sharded:
-    pin them to the XLA path (GSPMD partitions XLA along the data mesh; a
-    pallas_call would run REPLICATED behind all-gathers —
-    models.common.pallas_override / tests/test_pallas_gspmd.py).  No-op
-    when `mesh` is None (single device keeps the fused kernels); serving
-    uses parallel.mesh.sharded_serving_fn instead, which keeps kernels on
-    per-shard."""
-    import contextlib
-
-    from ..models.common import pallas_override
-
-    return pallas_override("0") if mesh is not None else (
-        contextlib.nullcontext())
-
-
 def compute_dtype():
     """Mixed-precision training: AUTOGNOTHI_COMPUTE_DTYPE=bfloat16 casts
     float *inputs* to bf16 so the whole network computes in bf16 (fp32

@@ -151,8 +151,8 @@ def main() -> None:
 
     # stage 2: TPU fused kernels, int8 serving mode, same checkpoints
     faith.unlink(missing_ok=True)
-    # AUTOGNOTHI_FUSED_MIN_HIDDEN=0: mini dims are far below the production
-    # width floor (models.common.fused_dims_ok) — force the fused kernels so
+    # AUTOGNOTHI_FUSED_MIN_HIDDEN=0 pins the width floor open regardless of
+    # the ambient env (fused_dims_ok defaults to 0) — the fused kernels run so
     # the gate actually exercises the int8 path it certifies
     sh([sys.executable, "main.py", "measure_all", str(exp),
         "--run-faithfulness", "--no-run-accuracy", "--no-run-cls-acc",

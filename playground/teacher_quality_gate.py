@@ -77,10 +77,12 @@ def main() -> None:
         exp = root / label
         exp.mkdir(parents=True)
         (exp / ".hparams.json").write_text(json.dumps(hp, indent=2))
-        # MIN_HIDDEN=0: the mini config's hidden size is below the default
-        # fused-kernel gate (128), so without this the int8 teacher never
-        # engages and the gate compares two identical runs (verified: at
-        # MIN_HIDDEN=128 the teacher outputs match to 6e-8 across flags)
+        # MIN_HIDDEN=0 pins the fused-kernel width floor open regardless
+        # of the ambient env (fused_dims_ok DEFAULTS to 0; the knob is an
+        # escape hatch) — if a floor were active, the mini config's hidden
+        # size would route to XLA and the gate would compare two identical
+        # runs (verified: at MIN_HIDDEN=128 the teacher outputs match to
+        # 6e-8 across flags)
         env = dict(os.environ, AUTOGNOTHI_INT8_TEACHER=flag,
                    AUTOGNOTHI_FUSED_MIN_HIDDEN="0")
         r = subprocess.run(
