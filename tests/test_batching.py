@@ -232,6 +232,58 @@ def test_pipelined_concurrent_correctness():
     b.close()
 
 
+@pytest.mark.parametrize("depth,window", [(1, 0.0), (2, 0.01), (3, 0.05)])
+def test_fuzz_concurrent_mixed_traffic(depth, window):
+    """Randomized soak: concurrent requests of random sizes/shapes/dtypes
+    with injected slab failures — every submit must return exactly its own
+    rows (identity-checked per request) or the injected error, and the
+    batcher must stay serviceable throughout."""
+    rng = np.random.RandomState(depth * 100 + int(window * 1000))
+    fail_every = {"n": 0}
+
+    def flaky(xs):
+        fail_every["n"] += 1
+        if fail_every["n"] % 7 == 0:
+            raise RuntimeError("injected")
+        return _echo_slab(xs.astype(np.float64))
+
+    b = MicroBatcher(flaky, batch_size=8, window_s=window, depth=depth)
+    reqs = []
+    for i in range(40):
+        shape = (rng.randint(1, 20), rng.choice([2, 3]))
+        dtype = rng.choice([np.float32, np.uint8])
+        xs = (rng.randint(0, 100, size=shape).astype(dtype)
+              + (i % 50))  # per-request fingerprint in the values
+        reqs.append(xs.astype(dtype))
+    results, errors = [None] * len(reqs), [None] * len(reqs)
+
+    def worker(i):
+        try:
+            results[i] = b.submit(reqs[i])
+        except RuntimeError as exc:
+            errors[i] = exc
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not any(t.is_alive() for t in threads)  # nobody hangs
+    ok = 0
+    for xs, res, err in zip(reqs, results, errors):
+        if err is not None:
+            assert str(err) == "injected"
+            continue
+        sums, dbl = res
+        es, ed = _echo_slab(xs.astype(np.float64))
+        np.testing.assert_allclose(sums, es)  # exactly this request's rows
+        np.testing.assert_allclose(dbl, ed)
+        ok += 1
+    assert ok > 0  # the batcher kept serving between injected failures
+    b.close()
+
+
 def test_fifo_order_preserved_within_slab():
     """Requests that genuinely coexist in the queue share a slab with each
     request's rows contiguous (no interleaving)."""
