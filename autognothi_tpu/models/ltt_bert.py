@@ -217,6 +217,7 @@ def ltt_bert_encoder(
     ]
 
     from .common import fused_dims_ok, pallas_mode
+    from ..ops.ladder_block import ladder_fits_vmem
 
     dropout_off = deterministic or (
         cfg.attention_probs_dropout_prob == 0.0
@@ -225,6 +226,9 @@ def ltt_bert_encoder(
     use_ladder_kernel = (
         pallas_mode() == "2" and dropout_off and len(branches) > 0
         and fused_dims_ok(cfg.s_attn_hidden_size)
+        and ladder_fits_vmem(cfg.hidden_size, cfg.max_position_embeddings,
+                             cfg.s_attn_hidden_size,
+                             cfg.num_attention_heads, len(branches))
     )
 
     def _ladder_weights(maps, layers):

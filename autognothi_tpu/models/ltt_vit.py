@@ -210,6 +210,7 @@ def ltt_vit_backbone(
     ]
 
     from .common import fused_dims_ok, pallas_mode
+    from ..ops.ladder_block import ladder_fits_vmem
 
     dropout_off = deterministic or (
         cfg.attention_probs_dropout_prob == 0.0
@@ -218,6 +219,11 @@ def ltt_vit_backbone(
     use_ladder_kernel = (
         pallas_mode() == "2" and dropout_off and len(branches) > 0
         and fused_dims_ok(cfg.s_attn_hidden_size)
+        and ladder_fits_vmem(
+            cfg.hidden_size,
+            (cfg.img_px_size // cfg.img_patch_size) ** 2 + 1,
+                             cfg.s_attn_hidden_size,
+                             cfg.num_attention_heads, len(branches))
     )
 
     def _ladder_weights(maps, layers):
@@ -249,7 +255,8 @@ def ltt_vit_backbone(
         and mlp_ladder_fits_vmem(
             cfg.hidden_size, cfg.intermediate_size,
             (cfg.img_px_size // cfg.img_patch_size) ** 2 + 1,
-            cfg.s_attn_hidden_size, max(len(branches), 1))
+            cfg.s_attn_hidden_size, max(len(branches), 1),
+            cfg.num_attention_heads)
     )
 
     def body(carry, xs):
@@ -477,9 +484,15 @@ def ltt_vit_surrogate_coalitions_fwd(
     side0 = jnp.zeros((b * m, t, cfg.s_attn_hidden_size), dtype)
 
     from .common import fused_dims_ok, pallas_mode
+    from ..ops.ladder_block import ladder_fits_vmem
 
     use_ladder_kernel = (
         pallas_mode() == "2" and fused_dims_ok(cfg.s_attn_hidden_size)
+        and ladder_fits_vmem(
+            cfg.hidden_size,
+            (cfg.img_px_size // cfg.img_patch_size) ** 2 + 1,
+                             cfg.s_attn_hidden_size,
+                             cfg.num_attention_heads, 1)
         and (deterministic or (cfg.attention_probs_dropout_prob == 0.0
                                and cfg.hidden_dropout_prob == 0.0))
     )

@@ -34,9 +34,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = float(jnp.finfo(jnp.float32).min)
-
-
 def _ln32(x, w, b, eps):
     """LayerNorm with fp32 statistics (mirrors models.common.layer_norm)."""
     dtype = x.dtype
@@ -327,6 +324,7 @@ def _make_block_fn(n_heads: int, mode: str, ln_position: str, ln_eps: float,
     return block
 
 
+# single source for every fused-op VMEM gate (mlp/head/ladder import it)
 _VMEM_BUDGET_BYTES = 15 * 1024 * 1024
 
 
@@ -341,11 +339,17 @@ def interpret_default() -> bool:
 
 
 def _fits_vmem(resid, quant: str = "none", group: int = 1) -> bool:
-    t, h = resid.shape[-2] * group, resid.shape[-1]
+    t, h = resid.shape[-2], resid.shape[-1]
     itemsize = jnp.dtype(resid.dtype).itemsize
     w_item = 1 if quant == "int8" else itemsize  # int8 weights quarter VMEM
     weights = 4 * h * h * w_item
-    acts = 6 * t * h * itemsize + t * t * 4
+    # only the in/out blocks hold the whole g-image group; q/k/v/ctx and
+    # the <T, T> scores are per-image temporaries of the group loop, so
+    # they do NOT scale with `group` (counting them g-fold disabled the
+    # grouping knob for shapes that actually fit)
+    acts = (2 * group * t * h * itemsize   # r_ref + o_ref blocks
+            + 4 * t * h * itemsize         # q/k/v/ctx for one image
+            + t * t * 4)                   # one per-head score tile
     if quant == "int8":
         # the quant variant additionally holds the f32 x/ctx copies, their
         # int8 quantized buffers and an int32 projection accumulator

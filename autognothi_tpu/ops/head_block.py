@@ -31,10 +31,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention_block import _ln32, interpret_default
+from .attention_block import (_VMEM_BUDGET_BYTES, _ln32,
+                              interpret_default)
 from .mlp_block import _gelu_exact, _quant_rows, quant_cols
 
-_VMEM_BUDGET_BYTES = 15 * 1024 * 1024
 
 
 def _xla_head(x, w1t, b1, w2t, b2, w3t, b3, ln_w, ln_b, *, ln_eps: float,

@@ -6,7 +6,10 @@ kernel_shap_bert.py:130-200, scripts/train_kernel_shap_explainer.py:50):
 
 - `kmeans_compress`: k-means over the raw training rows, centroids snapped
   per-column to the nearest observed value (so token ids stay valid ids),
-  weights = cluster sizes — the behavior of shap.kmeans.
+  weights = cluster sizes — the behavior of shap.kmeans.  NOTE: the recipe
+  deliberately passes UNIFORM bg_weights to kernel_shap instead of these
+  cluster sizes, because the reference's pipeline likewise hands
+  KernelExplainer a bare ndarray background, dropping shap.kmeans weights.
 - `kernel_shap`: the weighted-least-squares Shapley estimator — coalitions
   drawn from the Shapley kernel over sizes (full enumeration of small sizes
   while the budget allows, sampling after), masked inputs composed as
@@ -131,6 +134,11 @@ def kernel_shap(
     f_x = fn(x[None])[0]  # <C>
     phi0 = _logit(f_null)
     total = _logit(f_x) - phi0  # <C>
+
+    if m == 1:
+        # single player: no proper coalitions exist — the efficiency
+        # constraint alone determines phi (the whole logit difference)
+        return total[:, None]
 
     coalitions, kernel_w = _sample_coalitions(m, n_samples, rng)
     n_coal = coalitions.shape[0]

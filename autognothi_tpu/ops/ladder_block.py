@@ -39,7 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention_block import _ln32, interpret_default
+from .attention_block import (_VMEM_BUDGET_BYTES, _ln32,
+                              interpret_default)
 from .mlp_block import _gelu_exact
 
 # per-branch weight tuple layout (all pre-transposed to (in, out)):
@@ -539,8 +540,33 @@ def _make_mlp_ladder_fn(n_branches: int, n_heads: int, mode: str,
     return fused
 
 
+def _score_stack_ok(t: int, n_heads: int) -> bool:
+    """Cap on the stacked-attention score stack <n_heads*Tp, T> f32.
+
+    The per-buffer byte models below are calibrated against shapes measured
+    working on hardware (ViT T=197 and BERT T=512, BASELINE.md r3) — Mosaic
+    tiles the in-kernel dots, so a naive sum of all stacked buffers
+    over-counts and would reject those shapes.  This cap only rejects
+    BEYOND the measured range (e.g. T>=640 at 12 heads), where the score
+    stack alone outgrows a core's VMEM and the kernel would fail to compile
+    instead of falling back to XLA."""
+    return n_heads * t * t * 4 <= 16 * 1024 * 1024
+
+
+def ladder_fits_vmem(hidden: int, t: int, s_hidden: int, n_heads: int,
+                     n_branches: int) -> bool:
+    """Gate for the whole-step ladder kernel (ladder_block)."""
+    weights = n_branches * 2 * (hidden * s_hidden + 4 * s_hidden * s_hidden
+                                + 2 * s_hidden * 4 * s_hidden)
+    acts = (t * hidden * (2 + 4)          # h in (bf16) + f32 LN copy
+            + n_branches * 4 * t * s_hidden * 4)
+    return (weights + acts < _VMEM_BUDGET_BYTES
+            and _score_stack_ok(t, n_heads))
+
+
 def mlp_ladder_fits_vmem(hidden: int, inter: int, t: int,
-                         s_hidden: int, n_branches: int) -> bool:
+                         s_hidden: int, n_branches: int,
+                         n_heads: int = 12) -> bool:
     weights = 2 * hidden * inter  # int8 trunk MLP
     weights += n_branches * 2 * (hidden * s_hidden + 4 * s_hidden * s_hidden
                                  + 2 * s_hidden * 4 * s_hidden)
@@ -549,7 +575,8 @@ def mlp_ladder_fits_vmem(hidden: int, inter: int, t: int,
             + t * hidden * 4              # f32 LN copy
             + n_branches * 4 * t * s_hidden * 4
             + t * t * 4)                  # one scores tile at a time
-    return weights + acts < 15 * 1024 * 1024
+    return (weights + acts < _VMEM_BUDGET_BYTES
+            and _score_stack_ok(t, n_heads))
 
 
 def mlp_ladder_block(

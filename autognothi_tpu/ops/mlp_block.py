@@ -22,11 +22,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention_block import _ln32, interpret_default
+from .attention_block import (_VMEM_BUDGET_BYTES, _ln32,
+                              interpret_default)
 
 # VMEM cap for weights+activations (v5e has ~16MB/core).  ViT-B computes to
 # ~14MB and compiles; ViT-L (16.8MB weights alone) must fall back.
-_VMEM_BUDGET_BYTES = 15 * 1024 * 1024
 
 
 def _erf_approx(x):

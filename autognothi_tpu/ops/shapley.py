@@ -4,7 +4,10 @@ Numerical-parity notes (see /root/reference/models/shapley.py):
 
 - `mask_shapley` samples coalition sizes from the Shapley kernel distribution
   p(k) proportional to 1/(k(n-k)) for k in 1..n-1, thresholds uniform noise at
-  k/n, and pairs every mask with its complement (requires even n_mask_samples)
+  idx/n = (k-1)/n — NOT k/n: the reference quirk (`masks_2 = idx/n_players`,
+  mask_shapley_new) whose bit-parity the tests pin; "fixing" the threshold
+  would change the coalition-size distribution — and pairs every mask with
+  its complement (requires even n_mask_samples)
   for variance reduction (:56-79).  Unlike the reference (CPU numpy + host to
   device copy every step) masks are generated on-device from a `jax.random`
   key so the explainer train step is one fused XLA program.

@@ -68,3 +68,23 @@ def test_kmeans_compress_snaps_to_observed():
     for col in range(7):
         observed = set(data[:, col].tolist())
         assert set(centers[:, col].tolist()) <= observed
+
+
+def test_single_player_gets_full_logit_difference():
+    """m=1: no proper coalitions exist — phi must equal the whole logit
+    difference (regression: this previously crashed with IndexError)."""
+
+    def fn(rows):
+        rows = np.atleast_2d(rows)
+        p = 1.0 / (1.0 + np.exp(-rows[:, 0]))
+        return np.stack([1 - p, p], axis=1)
+
+    bg = np.zeros((3, 1))
+    phi = kernel_shap(fn, bg, np.ones(3), np.array([2.0]), n_samples=8)
+    assert phi.shape == (2, 1)
+    # efficiency: phi sums (per class) to logit(f(x)) - logit(f(null))
+    def logit(p):
+        p = np.clip(p, 1e-7, 1 - 1e-7)
+        return np.log(p / (1 - p))
+    total = logit(fn(np.array([[2.0]]))[0]) - logit(fn(bg).mean(axis=0))
+    np.testing.assert_allclose(phi[:, 0], total, atol=1e-6)
