@@ -40,6 +40,8 @@ from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..utils.functional import pad_to
+
 # run_slab: (xs <batch, ...>) -> tuple of per-output arrays, each <batch, ...>.
 # May return lazy device arrays; `finalize` (default np.asarray per output)
 # materializes them on the completer side.
@@ -122,7 +124,11 @@ class MicroBatcher:
             self._cv.notify_all()
         req.done.wait()
         if req.error is not None:
-            raise req.error
+            # chain a fresh exception per waiter: re-raising the SAME
+            # object from several submitter threads races on its mutable
+            # __traceback__/__context__
+            raise RuntimeError(
+                f"explain slab failed: {req.error!r}") from req.error
         outs = zip(*req.parts)
         return tuple(np.concatenate(rows) for rows in outs)
 
@@ -167,10 +173,12 @@ class MicroBatcher:
             total += req.remaining
         return total
 
-    def _collect(self) -> Tuple[List[Tuple[_Request, int, int]], np.ndarray]:
+    def _collect(self):
         """Pop up to batch_size rows from the same-shape FIFO prefix.
-        Returns ([(request, start_row, n_rows)], slab array padded to
-        batch_size).  Caller holds the lock."""
+        Returns ([(request, start_row, n_rows)], row chunks, unfilled room).
+        Pure queue bookkeeping (cannot realistically raise) — the caller
+        assembles the slab so a failed concat still knows which requests
+        were consumed.  Caller holds the lock."""
         take: List[Tuple[_Request, int, int]] = []
         chunks: List[np.ndarray] = []
         room = self.batch_size
@@ -188,13 +196,7 @@ class MicroBatcher:
             self.row_count += n
             if req.remaining == 0:
                 self._queue.pop(0)
-        from ..utils.functional import pad_to
-
-        if len(chunks) == 1 and not room:
-            slab = chunks[0]  # zero-copy: one request fills the slab exactly
-        else:  # edge-pad with the last row: jit-stable shapes
-            slab = pad_to(np.concatenate(chunks), self.batch_size)
-        return take, slab
+        return take, chunks, room
 
     def _loop(self) -> None:
         while True:
@@ -221,7 +223,18 @@ class MicroBatcher:
                     # a completer-side _fail can drain the queue while the
                     # lock was released in wait() — never index an empty one
                     continue
-                take, slab = self._collect()
+                take, chunks, room = self._collect()
+            try:
+                if len(chunks) == 1 and not room:
+                    slab = chunks[0]  # zero-copy: one request fills the slab
+                else:  # edge-pad with the last row: jit-stable shapes
+                    slab = pad_to(np.concatenate(chunks), self.batch_size)
+            except BaseException as exc:
+                # packing failed (e.g. MemoryError on the concat): fail the
+                # consumed requests rather than silently killing the
+                # dispatcher thread — every later submit() would hang
+                self._fail(take, exc)
+                continue
             try:
                 outs = self._run_slab(slab)  # possibly lazy device arrays
                 self.slab_count += 1

@@ -182,8 +182,11 @@ def measure_performance(
             last = xs
         gf = compiled_gflops(fwd, cls_params, last,
                              jnp.ones((last.shape[0], n_players), jnp.int32))
-        results_cls = _stat(times, gf,
-                            *_count_params(cls_params, lambda n: False))
+        # the reference counts requires_grad params of the loaded
+        # classifier — for LTT/froyo the side branches ARE trainable
+        # (only the backbone is frozen); vanilla's filter is all-False
+        results_cls = _stat(times, gf, *_count_params(
+            cls_params, recipe.trainable(m_config, "classifier")))
         log_results("cls", results_cls)
 
     if recipe.measurements.allow_performance_srg_exp:

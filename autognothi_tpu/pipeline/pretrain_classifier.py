@@ -11,7 +11,7 @@ import json
 
 from ..zoo.loader import save_local_ft
 from .env import ExpEnv
-from .resources import get_recipe, load_epoch_ckpt, load_epoch_model
+from .resources import get_recipe, latest_epoch, load_epoch_model
 from .train_all import conv_pretrained_classifier
 from .train_classifier import train_classifier
 
@@ -25,7 +25,9 @@ def pretrain_classifier(env: ExpEnv) -> None:
     if config.net.kind not in ("vanilla_bert", "vanilla_vit"):
         raise ValueError(f"unsupported model kind: {config.net.kind}")
 
-    epoch_cls, _ = load_epoch_ckpt(
+    # existence probe only — never load a (potentially GB-scale) payload
+    # just to detect the stage (same rationale as train_all.detect_stage)
+    epoch_cls = latest_epoch(
         env.model_path, "classifier", config.train_classifier.epochs
     )
     if epoch_cls is None:

@@ -115,6 +115,10 @@ class ExplainService:
 
     def explain(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         if "texts" in payload:
+            if isinstance(payload["texts"], str):
+                # a bare string would silently explode into per-character
+                # "documents" via list()
+                raise ValueError("'texts' must be a list of strings")
             raw = list(payload["texts"])
             if not raw:  # gen_input cannot stack an empty batch
                 return {"logits": [], "attributions": []}
@@ -184,9 +188,15 @@ def make_server(
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(length) or b"{}")
-                self._reply(200, service.explain(payload))
-            except Exception as exc:  # noqa: BLE001 — surface to client
+            except Exception as exc:  # noqa: BLE001 — malformed request
                 self._reply(400, {"error": str(exc)})
+                return
+            try:
+                self._reply(200, service.explain(payload))
+            except (ValueError, json.JSONDecodeError) as exc:
+                self._reply(400, {"error": str(exc)})  # client payload
+            except Exception as exc:  # noqa: BLE001 — server/device fault
+                self._reply(500, {"error": str(exc)})
 
     return ThreadingHTTPServer((host, port), Handler)
 

@@ -69,6 +69,14 @@ def test_explain_bad_payload(served):
     assert "texts" in body["error"]
 
 
+def test_explain_bare_string_texts_rejected(served):
+    """A bare string must not silently explode into per-character docs."""
+    server, _ = served
+    status, body = _post(server, "/explain", {"texts": "great movie"})
+    assert status == 400
+    assert "list of strings" in body["error"]
+
+
 def test_explain_empty_batch(served):
     server, _ = served
     status, body = _post(server, "/explain", {"images": []})
