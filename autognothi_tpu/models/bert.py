@@ -165,8 +165,13 @@ def bert_embeddings(
     *,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
-    dtype=jnp.float32,
+    dtype=None,
 ) -> jax.Array:
+    if dtype is None:
+        # follow the parameter dtype: bf16-cast params compute in bf16
+        # (an fp32 default silently upcast every bf16 serving path back
+        # to fp32 — the BERT benches measured fp32 score math)
+        dtype = p["embeddings.word_embeddings.weight"].dtype
     seq_len = input_ids.shape[-1]
     word = jnp.take(p["embeddings.word_embeddings.weight"], input_ids, axis=0)
     ttype = jnp.take(
@@ -315,14 +320,14 @@ def bert_backbone(
     *,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
-    dtype=jnp.float32,
+    dtype=None,
 ) -> jax.Array:
     bp = subdict(p, "bert.")
     emb = bert_embeddings(
         bp, cfg, input_ids, token_type_ids,
         deterministic=deterministic, rng=_rng(rng, 10), dtype=dtype,
     )
-    bias = additive_mask_bias(attention_mask, dtype)
+    bias = additive_mask_bias(attention_mask, emb.dtype)
     return bert_encoder(
         bp, cfg, emb, bias, deterministic=deterministic, rng=_rng(rng, 11)
     )
@@ -356,7 +361,7 @@ def bert_classifier_fwd(
     *,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
-    dtype=jnp.float32,
+    dtype=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     h = bert_backbone(
         p, cfg, input_ids, attention_mask, token_type_ids,
@@ -423,7 +428,7 @@ def bert_explainer_fwd(
     *,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
-    dtype=jnp.float32,
+    dtype=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     h = bert_backbone(
         p, cfg, input_ids, attention_mask, token_type_ids,
@@ -446,17 +451,20 @@ def bert_final_fwd(
     *,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
-    dtype=jnp.float32,
+    dtype=None,
 ) -> Tuple[jax.Array, jax.Array, Dict[str, jax.Array]]:
+    # per-tower rng folds: the same key in all three towers would draw
+    # perfectly correlated dropout masks across them (the reference's
+    # merged module draws independently per submodule)
     probs, obs_c = bert_classifier_fwd(
         subdict(p, "classifier."), cfg, input_ids, attention_mask, token_type_ids,
-        deterministic=deterministic, rng=rng, dtype=dtype,
+        deterministic=deterministic, rng=_rng(rng, 21), dtype=dtype,
     )
     obs = {"repr_cls": obs_c["repr_cls"]}
     if cfg.explainer_normalize:
         grand, obs_s = bert_surrogate_fwd(
             subdict(p, "surrogate."), cfg, input_ids, attention_mask, token_type_ids,
-            deterministic=deterministic, rng=rng, dtype=dtype,
+            deterministic=deterministic, rng=_rng(rng, 22), dtype=dtype,
         )
         obs["repr_srg"] = obs_s["repr_cls"]
     else:
@@ -464,7 +472,7 @@ def bert_final_fwd(
     attr, obs_e = bert_explainer_fwd(
         subdict(p, "explainer."), cfg, input_ids, attention_mask, token_type_ids,
         grand, p["surrogate_null"],
-        deterministic=deterministic, rng=rng, dtype=dtype,
+        deterministic=deterministic, rng=_rng(rng, 23), dtype=dtype,
     )
     obs["repr_exp"] = obs_e["repr_exp"]
     return probs, attr, obs
@@ -481,16 +489,22 @@ def bert_surrogate_coalitions_fwd(
     token_type_ids: jax.Array,  # <B, T>
     *,
     deterministic: bool = True,
-    dtype=jnp.float32,
+    dtype=None,
 ) -> jax.Array:
     """Surrogate over B*M coalitions with the embedding computed once per
     sentence.  Returns <B, M, n_classes> probabilities."""
+    if not deterministic:
+        raise NotImplementedError(
+            "the coalition fast path is a no-grad teacher sweep and runs "
+            "eval-mode only (the reference evaluates its surrogate teacher "
+            "under model.eval()); dropout rngs are not threaded here"
+        )
     b, m, t = masks.shape
     bp = subdict(p, "bert.")
     emb = bert_embeddings(bp, cfg, input_ids, token_type_ids, dtype=dtype)
     emb = jnp.broadcast_to(emb[:, None], (b, m, t, emb.shape[-1]))
     emb = emb.reshape(b * m, t, emb.shape[-1])
-    bias = additive_mask_bias(masks.reshape(b * m, t), dtype)
+    bias = additive_mask_bias(masks.reshape(b * m, t), emb.dtype)
     h = bert_encoder(bp, cfg, emb, bias, deterministic=deterministic)
     probs = _cls_head(p, h, cfg, deterministic=deterministic, rng=None)
     return probs.reshape(b, m, -1)

@@ -67,7 +67,7 @@ def froyo_bert_final_fwd(
     *,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
-    dtype=jnp.float32,
+    dtype=None,
 ) -> Tuple[jax.Array, jax.Array, Dict[str, jax.Array]]:
     """One backbone traversal -> (cls probs, attributions, observations)."""
     h = bert_backbone(

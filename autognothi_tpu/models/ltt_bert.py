@@ -507,6 +507,12 @@ def ltt_bert_surrogate_coalitions_fwd(
 ) -> jax.Array:
     """Side-branch surrogate over B*M coalitions, embedding computed once
     per sentence.  Returns <B, M, n_classes> side probabilities."""
+    if not deterministic:
+        raise NotImplementedError(
+            "the coalition fast path is a no-grad teacher sweep and runs "
+            "eval-mode only (the reference evaluates its surrogate teacher "
+            "under model.eval()); dropout rngs are not threaded here"
+        )
     b, m, t = masks.shape
     bp = subdict(p, "bert.")
     emb = bert_embeddings(bp, cfg.into(), input_ids, token_type_ids)

@@ -468,6 +468,12 @@ def ltt_vit_surrogate_coalitions_fwd(
 ) -> jax.Array:
     """Side-branch surrogate over B*M coalitions with the patch embedding
     computed once per image.  Returns <B, M, n_classes>."""
+    if not deterministic:
+        raise NotImplementedError(
+            "the coalition fast path is a no-grad teacher sweep and runs "
+            "eval-mode only (the reference evaluates its surrogate teacher "
+            "under model.eval()); dropout rngs are not threaded here"
+        )
     b, m, t = masks.shape
     vp = subdict(p, "vit.")
     emb = vit_embeddings(vp, cfg.into(), pixels)

@@ -469,15 +469,18 @@ def vit_final_fwd(
     The pixel->patch rearrange is computed ONCE and shared by the three
     towers (identical input; only the projection weights differ)."""
     patches = vit_patch_extract(cfg, pixels) if pixels.ndim == 4 else pixels
+    # per-tower rng folds: one shared key would draw perfectly correlated
+    # dropout masks across the three towers (the reference's merged module
+    # draws independently per submodule)
     probs, obs_c = vit_classifier_fwd(
         subdict(p, "classifier."), cfg, patches, mask,
-        deterministic=deterministic, rng=rng,
+        deterministic=deterministic, rng=_rng(rng, 21),
     )
     obs = {"repr_cls": obs_c["repr_cls"]}
     if cfg.explainer_normalize:
         grand, obs_s = vit_surrogate_fwd(
             subdict(p, "surrogate."), cfg, patches, mask,
-            deterministic=deterministic, rng=rng,
+            deterministic=deterministic, rng=_rng(rng, 22),
         )
         obs["repr_srg"] = obs_s["repr_cls"]
     else:
@@ -485,7 +488,7 @@ def vit_final_fwd(
     attr, obs_e = vit_explainer_fwd(
         subdict(p, "explainer."), cfg, patches, mask,
         grand, p["surrogate_null"],
-        deterministic=deterministic, rng=rng,
+        deterministic=deterministic, rng=_rng(rng, 23),
     )
     obs["repr_exp"] = obs_e["repr_exp"]
     return probs, attr, obs
@@ -509,6 +512,12 @@ def vit_surrogate_coalitions_fwd(
     host-side replication of full pixel tensors (train_explainer.py:159-171):
     only the <B, T, hidden> embedding is broadcast across the coalition axis.
     """
+    if not deterministic:
+        raise NotImplementedError(
+            "the coalition fast path is a no-grad teacher sweep and runs "
+            "eval-mode only (the reference evaluates its surrogate teacher "
+            "under model.eval()); dropout rngs are not threaded here"
+        )
     b, m = masks.shape[:2]
     vp = subdict(p, "vit.")
     emb = vit_embeddings(vp, cfg, pixels, deterministic=True)  # <B, T, H>

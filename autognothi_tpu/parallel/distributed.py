@@ -54,8 +54,12 @@ def maybe_initialize_distributed(env: Optional[dict] = None) -> bool:
     platforms = (
         jax.config.jax_platforms or env.get("JAX_PLATFORMS", "") or ""
     )
-    if "cpu" in platforms:
-        # cross-process CPU collectives (all-reduce et al.) need gloo
+    if "cpu" in platforms or not platforms:
+        # cross-process CPU collectives (all-reduce et al.) need gloo.
+        # Unset platforms may still resolve to CPU (default resolution on a
+        # CPU-only host) — setting this is harmless for TPU backends, so
+        # err toward configuring it rather than hanging the first
+        # cross-process all-reduce
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
     if coord == "auto":

@@ -178,7 +178,10 @@ def make_explainer_eval_step(
         masks = masks.reshape(b, n_mask_samples, n_players)
         v_s, v_1 = teacher(srg_params, xs, masks)
         mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
-        with mesh_safe_pallas():
+        # quant pinned off exactly like the train-side loss_fn: with
+        # AUTOGNOTHI_INT8 exported, an unpinned eval forward would run the
+        # W8A8 path the training loss never sees (phantom eval regressions)
+        with mesh_safe_pallas(), quant_override("none"):
             phi, _ = recipe.fw_explainer(
                 m_config, params, xs, mask_1, v_1, surrogate_null,
                 **_ltt_kwargs(recipe, ltt_active),

@@ -94,6 +94,69 @@ def ltt_hparams() -> dict:
     return hp
 
 
+def bert_hparams(vocab_size: int) -> dict:
+    """Mini vanilla-BERT on the bundled nlp_samples (mirrors
+    tests/test_bert_e2e.py) — gates the text track's int8/kernel serving
+    path; the tokenizer is built offline into the experiment dir."""
+    return {
+        "seed": 11,
+        "dataset": {"kind": "nlp_samples"},
+        "net": {
+            "kind": "vanilla_bert",
+            "version": "beta.1.01",
+            "base_model": "random_init",
+            "params": {
+                "attention_probs_dropout_prob": 0.0,
+                "explainer_attn_num_layers": 1,
+                "explainer_head_hidden_size": 16,
+                "explainer_normalize": True,
+                "hidden_dropout_prob": 0.0,
+                "hidden_size": 32,
+                "intermediate_size": 64,
+                "layer_norm_eps": 1e-12,
+                "max_position_embeddings": 16,
+                "num_attention_heads": 4,
+                "num_hidden_layers": 2,
+                "num_labels": 2,
+                "pad_token_id": 0,
+                "type_vocab_size": 2,
+                "vocab_size": vocab_size,
+            },
+        },
+        "train_classifier": {
+            "epochs": 0, "ckpt_when": "_:%1==0", "lr": 1e-3, "batch_size": 8,
+        },
+        "train_surrogate": {
+            "epochs": 1, "ckpt_when": "_:%1==0", "lr": 1e-3, "batch_size": 8,
+        },
+        "train_explainer": {
+            "epochs": 1, "ckpt_when": "_:%1==0", "lr": 1e-3, "batch_size": 8,
+            "n_mask_samples": 2, "lambda_efficiency": 0.0, "lambda_norm": 0.0,
+        },
+        "eval_accuracy": {"dataset": None, "batch_size": 8, "resolution": 3},
+        "eval_faithfulness": {"dataset": None, "batch_size": 8,
+                              "resolution": 3},
+        "eval_cls_acc": {"dataset": None, "on_exp_epochs": None,
+                         "batch_size": 8},
+        "eval_performance": {"dataset": None, "loops": 1},
+        "eval_train_resources": {"dataset": None, "batch_size": 8,
+                                 "max_samples": 8},
+    }
+
+
+def prepare_bert_exp(exp: pathlib.Path) -> dict:
+    sys.path.insert(0, str(REPO))
+    import autognothi_tpu.data.loader as dl
+    from autognothi_tpu.data.tokenizer import WordPieceTokenizer, build_vocab
+
+    samples = json.loads(
+        (pathlib.Path(dl.__file__).parent / "nlp_samples.json").read_text()
+    )
+    vocab = build_vocab([s["inputs"] for s in samples], max_size=400)
+    WordPieceTokenizer(vocab).save(exp / "tokenizer")
+    return bert_hparams(len(vocab))
+
+
 def sh(args, env_extra=None):
     env = dict(os.environ)
     env.update(env_extra or {})
@@ -117,7 +180,8 @@ def auc_cells(report: dict, prefix=""):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", default=None)
-    ap.add_argument("--net", choices=["vanilla_vit", "ltt_vit", "froyo_vit"],
+    ap.add_argument("--net", choices=["vanilla_vit", "ltt_vit", "froyo_vit",
+                                      "vanilla_bert"],
                     default="vanilla_vit")
     ap.add_argument("--atol", type=float, default=5e-3)
     args = ap.parse_args()
@@ -132,6 +196,8 @@ def main() -> None:
         exp.mkdir(parents=True)
         if args.net == "ltt_vit":
             hp = ltt_hparams()
+        elif args.net == "vanilla_bert":
+            hp = prepare_bert_exp(exp)
         elif args.net == "froyo_vit":
             # froyo (single-trunk final — the family's fastest member and a
             # bench.py secondary metric) takes the vanilla params verbatim
