@@ -151,9 +151,17 @@ def apply_cv_transforms(
     if transforms.center_crop:
         opt = transforms.center_crop
         c, h, w = img.shape
-        top = max(0, (h - opt["height"]) // 2)
-        left = max(0, (w - opt["width"]) // 2)
-        img = img[:, top : top + opt["height"], left : left + opt["width"]]
+        ch, cw = opt["height"], opt["width"]
+        if h < ch or w < cw:
+            # torchvision CenterCrop zero-pads images smaller than the crop
+            # (a bare slice would yield ragged batches -> np.stack crash)
+            ph, pw = max(0, ch - h), max(0, cw - w)
+            img = np.pad(img, ((0, 0), (ph // 2, ph - ph // 2),
+                               (pw // 2, pw - pw // 2)))
+            c, h, w = img.shape
+        top = max(0, (h - ch) // 2)
+        left = max(0, (w - cw) // 2)
+        img = img[:, top : top + ch, left : left + cw]
     if transforms.horizontal_flip and rng.random() < transforms.horizontal_flip["p"]:
         img = img[:, :, ::-1].copy()
     if transforms.vertical_flip and rng.random() < transforms.vertical_flip["p"]:

@@ -116,7 +116,9 @@ def measure_faithfulness(
     final_params = place_params(final_params)
     n_shards = mesh.shape["data"] if mesh is not None else 1
 
-    explain = jax.jit(lambda p, xs: recipe.fw_final(m_config, p, xs))
+    _explain = lambda p, xs: recipe.fw_final(m_config, p, xs)  # noqa: E731
+    # host-side finals (KernelSHAP's numpy WLS) must not be traced
+    explain = _explain if recipe.fw_final_host else jax.jit(_explain)
 
     @partial(jax.jit, static_argnums=3)
     def eval_perturbed(srg_p, xs, attr, mask_base):

@@ -60,7 +60,9 @@ def run_image_explanation(
     img_patch_size = m_config.img_patch_size
 
     gen_input = recipe.gen_input(m_config, m_misc)
-    fw_final = jax.jit(lambda p, xs: recipe.fw_final(m_config, p, xs))
+    _fw = lambda p, xs: recipe.fw_final(m_config, p, xs)  # noqa: E731
+    # host-side finals (KernelSHAP's numpy WLS) must not be traced
+    fw_final = _fw if recipe.fw_final_host else jax.jit(_fw)
 
     result_buffer: List[ImageExplanation] = []
     for i, (_inputs, _targets, _inputs_raw, _targets_raw) in enumerate(

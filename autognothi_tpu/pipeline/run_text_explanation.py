@@ -98,7 +98,9 @@ def run_text_explanation(
     m_misc = recipe.load_misc(env.model_path, m_config)
     tokenizer = m_misc.tokenizer
     gen_input = recipe.gen_input(m_config, m_misc)
-    fw_final = jax.jit(lambda p, xs: recipe.fw_final(m_config, p, xs))
+    _fw = lambda p, xs: recipe.fw_final(m_config, p, xs)  # noqa: E731
+    # host-side finals (KernelSHAP's numpy WLS) must not be traced
+    fw_final = _fw if recipe.fw_final_host else jax.jit(_fw)
 
     result_buffer: List[List[Tuple[str, float]]] = []
     for i, (_inputs, _targets) in enumerate(d_loader.test(1)):

@@ -55,7 +55,11 @@ class ExplainService:
         scale, offset = u8_dequant
         fw_u8 = lambda p, xs: fw(  # noqa: E731
             p, xs.astype(jnp.float32) * scale + offset)
-        if mesh is not None:
+        if self.recipe.fw_final_host:
+            # host-side final (KernelSHAP): no jit, no mesh placement
+            self._fw, self._fw_u8 = fw, fw_u8
+            mesh = None
+        elif mesh is not None:
             n = mesh.devices.size
             batch_size = ((batch_size + n - 1) // n) * n
             env.log(f"[[[ serving sharded over {n} devices "

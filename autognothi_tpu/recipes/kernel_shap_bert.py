@@ -6,6 +6,8 @@ attributions cover ALL token columns with the CLS column dropped at the end
 from __future__ import annotations
 
 import dataclasses
+import functools
+import json
 import pathlib
 from typing import Any
 
@@ -56,11 +58,15 @@ def fw_explainer(cfg, params, xs, mask, grand, null, **kw):
     raise NotImplementedError("explainer model not available for KernelSHAP")
 
 
-def _classifier_on_rows(cfg, cls_params):
-    """Batched jitted classifier over raw token rows (mask all-ones)."""
+@functools.lru_cache(maxsize=8)
+def _make_cls_fwd(cfg_json: str):
+    """One compiled classifier per config — params are traced ARGUMENTS, so
+    per-sample fw_final calls reuse the executable instead of re-tracing a
+    fresh closure every call (each remote compile is ~1-2 min)."""
+    cfg = KernelShapBertConfig(**json.loads(cfg_json))
 
     @jax.jit
-    def fwd(rows):
+    def fwd(cls_params, rows):
         mask = jnp.ones_like(rows)
         ttype = jnp.zeros_like(rows)
         from ..models.bert import bert_classifier_fwd
@@ -68,12 +74,20 @@ def _classifier_on_rows(cfg, cls_params):
         probs, _ = bert_classifier_fwd(cls_params, cfg, rows, mask, ttype)
         return probs
 
+    return fwd
+
+
+def _classifier_on_rows(cfg, cls_params):
+    """Batched classifier over raw token rows (mask all-ones); the jitted
+    forward is cached per-config with params as traced arguments."""
+    fwd = _make_cls_fwd(cfg.model_dump_json())
+
     def fn(rows_np: np.ndarray) -> np.ndarray:
         from ..utils.functional import iter_fixed_batches
 
         rows_np = np.asarray(rows_np, dtype=np.int64)
         outs = [
-            np.asarray(fwd(jnp.asarray(part)))[:real]
+            np.asarray(fwd(cls_params, jnp.asarray(part)))[:real]
             for (part,), real in iter_fixed_batches([rows_np], 64)
         ]
         return np.concatenate(outs, axis=0)
@@ -82,16 +96,14 @@ def _classifier_on_rows(cfg, cls_params):
 
 
 def fw_final(cfg, params, xs, **kw):
+    """HOST-side final (recipe sets fw_final_host=True — consumers must not
+    jit this): the WLS Shapley estimation is numpy; only the classifier
+    forwards run on device through one cached executable."""
     from ..models.common import subdict
 
     cls_params = subdict(params, "classifier.")
-    mask = jnp.ones_like(xs)
-    ttype = jnp.zeros_like(xs)
-    from ..models.bert import bert_classifier_fwd
-
-    probs, _ = bert_classifier_fwd(cls_params, cfg, xs, mask, ttype)
-
     fn = _classifier_on_rows(cfg, cls_params)
+    probs = jnp.asarray(fn(np.asarray(xs, dtype=np.int64)))
     background = np.asarray(params["explainer.Xs_train"], dtype=np.int64)
     bg_weights = np.ones(background.shape[0])
     attrs = []
@@ -132,6 +144,7 @@ def kernel_shap_bert_recipe() -> ModelRecipe:
         fw_surrogate=vb.fw_surrogate,
         fw_explainer=fw_explainer,
         fw_final=fw_final,
+        fw_final_host=True,
         fw_surrogate_coalitions=vb.fw_surrogate_coalitions,
         measurements=ModelRecipe_Measurements(
             verify_final_coherency=False,

@@ -49,8 +49,10 @@ class ModelRecipe_Training:
 @dataclasses.dataclass
 class ModelRecipe_Measurements_DualTaskSimilarity:
     allow: bool
-    # (cfg, cls_params, exp_params, Xs, mask, grand, null)
-    #   -> (Ys, shap, grads wrt input embeddings for (cls loss, shap loss))
+    # (cfg, params, xs, mask, grand, null, zs, masks_bmp, v_0, v_s, v_1)
+    #   -> per-loss gradients wrt the input embeddings — the actual
+    # contract implemented by recipes/duo_vanilla_{bert,vit}.py and
+    # consumed by pipeline/measure_dual_task_similarity.py
     grad_probe: Callable[..., Any]
 
 
@@ -118,6 +120,11 @@ class ModelRecipe:
     trainable: Callable[[Any, str], Callable[[str], bool]] = (
         lambda cfg, section: (lambda name: True)
     )
+
+    # True when fw_final runs HOST-side (e.g. KernelSHAP's numpy WLS
+    # solver): consumers must NOT wrap it in jax.jit — tracing its
+    # np.asarray calls raises TracerArrayConversionError
+    fw_final_host: bool = False
 
     # LTT progressive training support: (cfg, section, epoch) -> extra
     # name-filter applied on top of `trainable`, or None when unsupported

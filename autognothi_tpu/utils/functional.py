@@ -1,14 +1,13 @@
 """Streaming re-batcher: pipe variable-sized work items through a fixed-size
 batched operation.
 
-TPU-first rationale: `jax.jit` compiles one executable per input shape, so the
-evaluation loops (faithfulness perturbation sweeps, KernelSHAP coalition
-evaluation) must feed the compiled surrogate *fixed-shape* batches.  This
-generator re-chunks arbitrary per-item workloads into fixed `batch_size`
-slabs, pads the final partial slab, and reassembles per-item outputs — the
-JAX analogue of the reference's `utils.functional.batched`
-(/root/reference/utils/functional.py:6-93) with padding added so every device
-step has a static shape.
+TPU-first rationale: `jax.jit` compiles one executable per input shape, so
+variable-sized workloads must feed the compiled functions *fixed-shape*
+batches.  `iter_fixed_batches` + `pad_to` back the production paths (the
+KernelSHAP classifier sweep, the serving slab packer); `batched` is the
+generator-style port of the reference's `utils.functional.batched`
+(/root/reference/utils/functional.py:6-93), kept for API parity
+(directly unit-tested; the pipeline paths use the two helpers above).
 """
 
 from __future__ import annotations

@@ -154,3 +154,16 @@ def test_kernel_shap_bert_end_to_end(tmp_path):
     assert np.asarray(probs).shape == (1, 2)
     assert np.asarray(attr).shape == (1, 2, 7)  # players = 8 - 1
     assert np.isfinite(np.asarray(attr)).all()
+
+    # faithfulness must run on the HOST-side final (regression: the report
+    # used to jax.jit(fw_final), which traces the numpy WLS solver and
+    # raises TracerArrayConversionError; the reference allows faithfulness
+    # for KernelSHAP — recipes/kernel_shap_bert.py:77 upstream)
+    assert recipe.fw_final_host
+    from autognothi_tpu.pipeline.measure_faithfulness import (
+        measure_faithfulness,
+    )
+
+    report = measure_faithfulness(env, resolution=2)
+    assert np.isfinite(report.insertion.auc)
+    assert np.isfinite(report.deletion.auc)
