@@ -38,12 +38,10 @@ def _apply_device(device: str) -> None:
     ensure_cpu_backend()
 
 
-def _env(model_path: pathlib.Path, logger=None):
+def _env(model_path: pathlib.Path):
     from .pipeline.env import ExpEnv
 
-    if logger is None:
-        return ExpEnv(model_path)
-    return ExpEnv(model_path, logger)
+    return ExpEnv(model_path)
 
 
 def _override_loader(args, config):

@@ -95,6 +95,13 @@ def _bench_model(model: str) -> None:
     )
 
     mesh, place_params, place_batch = setup_data_parallel()
+    if mesh is not None:
+        # shard_map requires the leading axis to split evenly on "data" —
+        # round the bench batch up to a mesh multiple (serve.py does the
+        # same; place_batch's replication fallback would crash the
+        # sharded serving fn at trace time otherwise)
+        n = mesh.devices.size
+        batch = ((batch + n - 1) // n) * n
 
     def fw(p, xs):
         probs, attr = fw_final(cfg, p, xs.astype(jnp.bfloat16))
@@ -158,6 +165,9 @@ def main() -> None:
             extra[f"{name}_expl_per_sec"] = round(res["expl_per_sec"], 2)
             extra[f"{name}_vs_baseline"] = round(
                 res["expl_per_sec"] / A100_TORCH_EST_EXPL_PER_SEC, 3)
+            if name == "vanilla":  # same-architecture measured CPU anchor
+                extra["vanilla_vs_ref_cpu_measured"] = round(
+                    res["expl_per_sec"] / TORCH_CPU_MEASURED_EXPL_PER_SEC, 1)
         except Exception as exc:  # secondary metrics must not sink the headline
             extra[f"{name}_error"] = str(exc)[:200]
 

@@ -9,7 +9,7 @@ import sys
 import unittest
 
 
-def launch(path_arg: str, argv) -> None:
+def launch(path_arg: str, argv):
     here = pathlib.Path(__file__).parent
     sys.path.insert(0, str(here))
     rel = pathlib.Path(path_arg).resolve().relative_to(here.resolve())
@@ -19,6 +19,14 @@ def launch(path_arg: str, argv) -> None:
     if hasattr(module, "app"):
         return module.app(argv)
     if hasattr(module, "main"):
+        # rewrite sys.argv so a main() that parses sys.argv sees only its
+        # own operands (the reference launcher does the same shift) — and
+        # pass argv when the signature accepts it
+        import inspect
+
+        sys.argv = [path_arg, *argv]
+        if inspect.signature(module.main).parameters:
+            return module.main(argv)
         return module.main()
 
     cases = [
@@ -38,4 +46,7 @@ def launch(path_arg: str, argv) -> None:
 if __name__ == "__main__":
     if len(sys.argv) < 2:
         raise SystemExit("usage: python launch.py path/to/module.py [args...]")
-    launch(sys.argv[1], sys.argv[2:])
+    ret = launch(sys.argv[1], sys.argv[2:])
+    # int/bool returns become the exit status (reference launch.py contract)
+    if isinstance(ret, (int, bool)) and not isinstance(ret, type(None)):
+        sys.exit(int(ret))
