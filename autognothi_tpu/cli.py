@@ -23,7 +23,9 @@ def _apply_device(device: str) -> None:
     # jax.distributed (no-op when unset).  Ordering matters: after the
     # platform pin (gloo detection reads it), before any backend init.
     from .parallel.distributed import maybe_initialize_distributed
+    from .utils.devices import maybe_enable_compile_cache
 
+    maybe_enable_compile_cache()
     if device and device.startswith("cpu"):
         import jax
 

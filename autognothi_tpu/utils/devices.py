@@ -10,9 +10,37 @@ coexists with the accelerator."""
 from __future__ import annotations
 
 import contextlib
+import os
+import pathlib
 from typing import Iterator, Optional
 
 import jax
+
+
+def maybe_enable_compile_cache() -> Optional[str]:
+    """Opt-in persistent XLA compilation cache (AUTOGNOTHI_COMPILE_CACHE).
+
+    On this class of deployment a cold compile of a serving/train executable
+    costs ~1-2 min (remote-tunneled chip); the persistent cache amortizes it
+    to a disk read across processes and restarts.  Values: a directory path,
+    or "1" for the default `~/.cache/autognothi_tpu/xla`.  Unset/empty/0 =
+    off (JAX default).  Returns the directory in use, or None.
+    """
+    val = os.environ.get("AUTOGNOTHI_COMPILE_CACHE", "")
+    if not val or val == "0":
+        return None
+    if val == "1":
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "autognothi_tpu", "xla")
+    else:
+        cache_dir = os.path.expanduser(val)
+    pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache every executable: the tunnel's cost floor is per-dispatch, not
+    # per-FLOP, so even sub-second compiles are worth persisting
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return cache_dir
 
 
 def ensure_cpu_backend() -> None:

@@ -181,7 +181,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", default=None)
     ap.add_argument("--net", choices=["vanilla_vit", "ltt_vit", "froyo_vit",
-                                      "vanilla_bert"],
+                                      "vanilla_bert", "ltt_bert",
+                                      "froyo_bert"],
                     default="vanilla_vit")
     ap.add_argument("--atol", type=float, default=5e-3)
     args = ap.parse_args()
@@ -198,6 +199,22 @@ def main() -> None:
             hp = ltt_hparams()
         elif args.net == "vanilla_bert":
             hp = prepare_bert_exp(exp)
+        elif args.net == "ltt_bert":
+            # the LTT-BERT final is a benched metric (playground/bench_ltt.py
+            # --model ltt_bert); mini ladder dims mirror tests/test_ltt_e2e.py
+            hp = prepare_bert_exp(exp)
+            hp["net"]["kind"] = "ltt_bert"
+            p = hp["net"]["params"]
+            p.pop("explainer_attn_num_layers")
+            p["explainer_s_attn_num_layers"] = 1
+            p["explainer_s_head_hidden_size"] = p.pop(
+                "explainer_head_hidden_size")
+            p["s_attn_hidden_size"] = 16
+            p["s_attn_intermediate_size"] = 32
+        elif args.net == "froyo_bert":
+            # froyo-BERT (single-trunk final) — also a benched metric
+            hp = prepare_bert_exp(exp)
+            hp["net"]["kind"] = "froyo_bert"
         elif args.net == "froyo_vit":
             # froyo (single-trunk final — the family's fastest member and a
             # bench.py secondary metric) takes the vanilla params verbatim
