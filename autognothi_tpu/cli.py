@@ -127,6 +127,17 @@ def build_parser() -> argparse.ArgumentParser:
                    type=float, help="device-side dequant offset for "
                                     "images_u8 payloads")
 
+    p = cmd("export_final")
+    p.add_argument("--into", type=pathlib.Path, required=True)
+    p.add_argument("--batch-size", dest="batch_size", default=8, type=int)
+    p.add_argument("--platforms", default="tpu,cpu", type=str,
+                   help="comma list of lowering targets embedded in the "
+                        "artifact (default: one file serves tpu AND cpu)")
+    p.add_argument("--kernels", action="store_true",
+                   help="embed the fused Pallas kernels (+int8 when "
+                        "AUTOGNOTHI_INT8=1): full serving throughput, but "
+                        "the artifact pins to --platforms tpu")
+
     cmd("__show_fridge__", device=False)
     p = cmd("__preview_text_shapley__", dataset=True)
     return parser
@@ -323,6 +334,12 @@ def main(argv: Optional[List[str]] = None) -> None:
         serve(env, args.host, args.port, args.batch_size,
               window_s=args.window_s,
               u8_dequant=(args.u8_scale, args.u8_offset))
+    elif command == "export_final":
+        from .pipeline.export import export_final
+
+        export_final(env, args.into, args.batch_size,
+                     platforms=[s for s in args.platforms.split(",") if s],
+                     kernels=args.kernels)
     elif command == "__show_fridge__":
         from .pipeline.show_fridge import show_fridge
 

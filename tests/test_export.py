@@ -1,0 +1,102 @@
+"""AOT export (pipeline/export.py): train a mini final, serialize it with
+jax.export, reload the bytes in-process and match the live model's outputs.
+
+Also pins the contract edges: fixed-batch input shape enforcement, the
+multi-platform lowering list, and the KernelSHAP fail-closed path (its
+final is host-side WLS — no device program to export).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from tests.test_train_all_e2e import MINI_VIT_HPARAMS
+
+
+@pytest.fixture(scope="module")
+def trained_exp(tmp_path_factory):
+    exp = tmp_path_factory.mktemp("export") / "vit_mini"
+    exp.mkdir()
+    (exp / ".hparams.json").write_text(json.dumps(MINI_VIT_HPARAMS, indent=2))
+
+    from autognothi_tpu.pipeline.env import ExpEnv
+    from autognothi_tpu.pipeline.train_all import train_all
+
+    env = ExpEnv(exp)
+    train_all(env)
+    return env
+
+
+def test_export_round_trip_matches_live_model(trained_exp, tmp_path):
+    from autognothi_tpu.pipeline.export import export_final, load_exported
+    from autognothi_tpu.pipeline.resources import get_recipe, load_epoch_model
+
+    env = trained_exp
+    artifact = tmp_path / "final.jaxexp"
+    # lower for the test's own backend only: the artifact must be callable
+    # here (cpu under conftest); the tpu+cpu default is covered below
+    meta = export_final(env, artifact, batch_size=2, platforms=["cpu"])
+    assert artifact.stat().st_size == meta["bytes"] > 0
+    assert meta["in_shape"][0] == 2
+
+    fw = load_exported(artifact)
+    xs = np.random.RandomState(0).randn(2, 3, 16, 16).astype(np.float32)
+    probs, attr = fw(xs)
+
+    recipe, m_config = get_recipe(env.config)
+    _, params = load_epoch_model(env, recipe, "final")
+    ref_probs, ref_attr = recipe.fw_final(m_config, params, xs)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref_probs),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(attr), np.asarray(ref_attr),
+                               atol=1e-5)
+
+    # fixed-shape contract: a wrong batch is a loud error, not a recompile
+    with pytest.raises(Exception):
+        fw(np.zeros((3, 3, 16, 16), np.float32))
+
+
+def test_export_multi_platform_lowering(trained_exp, tmp_path):
+    """The default artifact embeds BOTH tpu and cpu lowerings."""
+    from jax import export as jexport
+
+    from autognothi_tpu.pipeline.export import _unpack, export_final
+
+    env = trained_exp
+    artifact = tmp_path / "final_multi.jaxexp"
+    meta = export_final(env, artifact, batch_size=2)
+    assert meta["platforms"] == ["tpu", "cpu"]
+    program, params = _unpack(artifact.read_bytes())
+    assert params  # weights ride as arguments, not constants (see module doc)
+    exported = jexport.deserialize(program)
+    assert set(exported.platforms) == {"tpu", "cpu"}
+
+
+def test_export_cli_verb(trained_exp, tmp_path):
+    from autognothi_tpu.cli import main
+
+    env = trained_exp
+    out = tmp_path / "cli.jaxexp"
+    main(["export_final", str(env.model_path), "--into", str(out),
+          "--batch-size", "2", "--platforms", "cpu", "--device", "cpu"])
+    assert out.stat().st_size > 0
+
+
+def test_export_kernel_shap_fails_closed(tmp_path):
+    """KernelSHAP's final runs host-side WLS — no device program exists;
+    export_final must refuse before touching any checkpoint."""
+    from tests.test_bert_e2e import make_bert_hparams
+
+    from autognothi_tpu.pipeline.env import ExpEnv
+    from autognothi_tpu.pipeline.export import export_final
+
+    hp = make_bert_hparams(64)
+    hp["net"]["kind"] = "kernel_shap_bert"
+    hp["net"]["params"]["kernel_shap_n_samples"] = 64
+    hp["net"]["params"]["kernel_shap_data_size"] = 3
+    exp = tmp_path / "ks"
+    exp.mkdir()
+    (exp / ".hparams.json").write_text(json.dumps(hp, indent=2))
+    with pytest.raises(SystemExit, match="host"):
+        export_final(ExpEnv(exp), tmp_path / "x.jaxexp", batch_size=2)
