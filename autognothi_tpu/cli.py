@@ -129,7 +129,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = cmd("export_final")
     p.add_argument("--into", type=pathlib.Path, required=True)
-    p.add_argument("--batch-size", dest="batch_size", default=8, type=int)
+    p.add_argument("--batch-size", dest="batch_size", default=8, type=int,
+                   help="0 = batch-polymorphic artifact (one lowering "
+                        "serves any batch; XLA path only)")
     p.add_argument("--platforms", default="tpu,cpu", type=str,
                    help="comma list of lowering targets embedded in the "
                         "artifact (default: one file serves tpu AND cpu)")

@@ -102,7 +102,17 @@ def export_final(env: ExpEnv, into: pathlib.Path, batch_size: int = 8,
     _, final_params = load_epoch_model(env, recipe, "final")
     misc = recipe.load_misc(env.model_path, m_config)
     null = np.asarray(recipe.gen_null(m_config, misc))
-    in_spec = jax.ShapeDtypeStruct((batch_size,) + null.shape[1:],
+    if batch_size == 0:
+        # batch-polymorphic artifact: one lowering serves ANY batch.  The
+        # XLA path traces cleanly with a symbolic leading dim; the Pallas
+        # kernels cannot (static grids/block shapes).
+        if kernels:
+            raise SystemExit("--kernels needs a fixed --batch-size "
+                             "(Pallas grids are static)")
+        batch_dim = jexport.symbolic_shape("b")[0]
+    else:
+        batch_dim = batch_size
+    in_spec = jax.ShapeDtypeStruct((batch_dim,) + null.shape[1:],
                                    null.dtype)
     param_specs = {
         k: jax.ShapeDtypeStruct(np.shape(v), np.asarray(v).dtype)
@@ -124,9 +134,10 @@ def export_final(env: ExpEnv, into: pathlib.Path, batch_size: int = 8,
     meta = {
         "path": str(into),
         "bytes": len(blob),
-        "batch_size": batch_size,
+        "batch_size": batch_size or "symbolic",
         "platforms": list(platforms),
-        "in_shape": list(in_spec.shape),
+        "in_shape": [d if isinstance(d, int) else str(d)
+                     for d in in_spec.shape],
         "in_dtype": str(in_spec.dtype),
         "kernels": kernels,
         "quant": modes[1],

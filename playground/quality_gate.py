@@ -182,7 +182,9 @@ def main() -> None:
     ap.add_argument("--exp", default=None)
     ap.add_argument("--net", choices=["vanilla_vit", "ltt_vit", "froyo_vit",
                                       "vanilla_bert", "ltt_bert",
-                                      "froyo_bert"],
+                                      "froyo_bert", "duo_vanilla_vit",
+                                      "duo_vanilla_bert",
+                                      "kernel_shap_bert"],
                     default="vanilla_vit")
     ap.add_argument("--atol", type=float, default=5e-3)
     args = ap.parse_args()
@@ -215,6 +217,26 @@ def main() -> None:
             # froyo-BERT (single-trunk final) — also a benched metric
             hp = prepare_bert_exp(exp)
             hp["net"]["kind"] = "froyo_bert"
+        elif args.net == "duo_vanilla_bert":
+            # duo: dual-objective explainer, no classifier branch in the
+            # final — its faithfulness sweep still rides the fused kernels
+            hp = prepare_bert_exp(exp)
+            hp["net"]["kind"] = "duo_vanilla_bert"
+        elif args.net == "kernel_shap_bert":
+            # classical-baseline family: the final explanation is host-side
+            # WLS, but the classifier probes + surrogate evaluations inside
+            # measure_faithfulness run on device through the kernels
+            hp = prepare_bert_exp(exp)
+            hp["net"]["kind"] = "kernel_shap_bert"
+            hp["net"]["params"]["kernel_shap_n_samples"] = 32
+            hp["net"]["params"]["kernel_shap_data_size"] = 3
+            # kernel_shap has no trainable surrogate (the recipe skips the
+            # stage, so the orchestrator must not expect its checkpoints —
+            # mirrors tests/test_variants_e2e.py)
+            hp["train_surrogate"]["epochs"] = 0
+        elif args.net == "duo_vanilla_vit":
+            hp = json.loads(json.dumps(MINI_VIT_HPARAMS))
+            hp["net"]["kind"] = "duo_vanilla_vit"
         elif args.net == "froyo_vit":
             # froyo (single-trunk final — the family's fastest member and a
             # bench.py secondary metric) takes the vanilla params verbatim

@@ -73,6 +73,26 @@ def test_export_multi_platform_lowering(trained_exp, tmp_path):
     assert set(exported.platforms) == {"tpu", "cpu"}
 
 
+def test_export_symbolic_batch(trained_exp, tmp_path):
+    """batch_size=0 -> one lowering serves any batch (XLA path only)."""
+    from autognothi_tpu.pipeline.export import export_final, load_exported
+
+    env = trained_exp
+    artifact = tmp_path / "final_sym.jaxexp"
+    meta = export_final(env, artifact, batch_size=0, platforms=["cpu"])
+    assert meta["batch_size"] == "symbolic"
+    fw = load_exported(artifact)
+    for n in (1, 3):
+        xs = np.random.RandomState(n).randn(n, 3, 16, 16).astype(np.float32)
+        probs, attr = fw(xs)
+        assert np.asarray(probs).shape == (n, 3)
+        assert np.asarray(attr).shape == (n, 3, 4)
+
+    with pytest.raises(SystemExit, match="static"):
+        export_final(env, tmp_path / "x.jaxexp", batch_size=0,
+                     platforms=["tpu"], kernels=True)
+
+
 def test_export_cli_verb(trained_exp, tmp_path):
     from autognothi_tpu.cli import main
 
