@@ -152,13 +152,33 @@ def _remove_ckpt(file: pathlib.Path) -> None:
 
 
 def save_params(file: pathlib.Path, params: Params) -> None:
-    arrays = {k: np.asarray(v) for k, v in params.items()}
     if _orbax_backend():
+        import jax
         import orbax.checkpoint as ocp
 
-        _remove_ckpt(file)
-        ocp.PyTreeCheckpointer().save(str(file.resolve()), arrays)
+        # every process calls this collectively (the trainers are SPMD);
+        # only one may clear the target, the rest must wait for it
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            if jax.process_index() == 0:
+                _remove_ckpt(file)
+            multihost_utils.sync_global_devices("agt_ckpt_clear")
+        else:
+            _remove_ckpt(file)
+        # leaves stay as-is: jax.Arrays — including multi-host sharded ones
+        # that NO single host could materialize — save natively (each
+        # process writes its own shards; orbax coordinates the commit)
+        ocp.PyTreeCheckpointer().save(str(file.resolve()), dict(params))
         return
+    arrays = {}
+    for k, v in params.items():
+        if getattr(v, "is_fully_addressable", True) is False:
+            raise ValueError(
+                f"param {k!r} is sharded across hosts — npz checkpoints "
+                "gather to one host and cannot hold it; set "
+                "AUTOGNOTHI_CKPT_BACKEND=orbax")
+        arrays[k] = np.asarray(v)
     with open(file, "wb") as f:
         np.savez(f, **arrays)
 
@@ -182,7 +202,17 @@ def load_params_file(file: pathlib.Path) -> Dict[str, np.ndarray]:
         import orbax.checkpoint as ocp
 
         restored = ocp.PyTreeCheckpointer().restore(str(file.resolve()))
-        return {k: np.asarray(v) for k, v in restored.items()}
+        out = {}
+        for k, v in restored.items():
+            if getattr(v, "is_fully_addressable", True) is False:
+                # multi-host: orbax re-assembled the array SHARDED across
+                # processes (sharding read from the ckpt); gather the global
+                # value — callers re-place params via the mesh helpers
+                from jax.experimental import multihost_utils
+
+                v = multihost_utils.process_allgather(v, tiled=True)
+            out[k] = np.asarray(v)
+        return out
     if _is_torch_archive(file):
         import torch
 
