@@ -126,6 +126,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--u8-offset", dest="u8_offset", default=0.0,
                    type=float, help="device-side dequant offset for "
                                     "images_u8 payloads")
+    p.add_argument("--artifact", default=None, type=pathlib.Path,
+                   help="serve an export_final artifact (program+weights) "
+                        "instead of the experiment's checkpoints; a fixed-"
+                        "batch artifact dictates the slab size")
 
     p = cmd("export_final")
     p.add_argument("--into", type=pathlib.Path, required=True)
@@ -335,7 +339,8 @@ def main(argv: Optional[List[str]] = None) -> None:
 
         serve(env, args.host, args.port, args.batch_size,
               window_s=args.window_s,
-              u8_dequant=(args.u8_scale, args.u8_offset))
+              u8_dequant=(args.u8_scale, args.u8_offset),
+              artifact=args.artifact)
     elif command == "export_final":
         from .pipeline.export import export_final
 

@@ -163,4 +163,12 @@ def load_exported(path: pathlib.Path) -> Callable[[np.ndarray], Tuple]:
     def call(xs):
         return exported.call(params, xs)
 
+    # self-description for callers that must match the program's fixed
+    # shape (pipeline/serve.py slabs requests to exactly this batch):
+    # the xs aval is the last flattened input (params dict leaves precede)
+    in_aval = exported.in_avals[-1]
+    call.in_shape = tuple(
+        d if isinstance(d, int) else None for d in in_aval.shape)
+    call.in_dtype = np.dtype(in_aval.dtype)
+    call.platforms = tuple(exported.platforms)
     return call

@@ -35,12 +35,42 @@ from .resources import get_recipe, load_epoch_model
 class ExplainService:
     def __init__(self, env: ExpEnv, batch_size: int = 8,
                  window_s: float = 0.0,
-                 u8_dequant: Tuple[float, float] = (1.0 / 255.0, 0.0)):
+                 u8_dequant: Tuple[float, float] = (1.0 / 255.0, 0.0),
+                 artifact=None):
         self.env = env
         self.recipe, self.m_config = get_recipe(env.config)
-        _, self.final_params = load_epoch_model(env, self.recipe, "final")
         self.misc = self.recipe.load_misc(env.model_path, self.m_config)
         self.gen_input = self.recipe.gen_input(self.m_config, self.misc)
+
+        if artifact is not None:
+            # serve an `export_final` artifact: the program + weights are the
+            # deployment unit — no checkpoints are read, and the device math
+            # is byte-for-byte what was exported (weights ride as runtime
+            # arguments precisely so this matches the live path).  Fixed-
+            # batch artifacts dictate the slab size; batch-polymorphic ones
+            # (--batch-size 0) keep the requested one.  Single-device by
+            # construction (the program embeds no mesh).
+            from .export import load_exported
+
+            call = load_exported(artifact)
+            if call.in_shape[0] is not None:
+                batch_size = call.in_shape[0]
+            env.log(f"[[[ serving artifact {artifact}: input "
+                    f"{call.in_shape} {call.in_dtype}, platforms "
+                    f"{call.platforms} (batch {batch_size}) ]]]")
+            scale, offset = u8_dequant
+            self._fw = lambda _p, xs: call(xs)
+            # the exported program takes the recipe's own input dtype; u8
+            # wire rows dequantize at the device boundary instead of inside
+            # the program
+            self._fw_u8 = lambda _p, xs: call(
+                xs.astype(call.in_dtype) * scale + offset)
+            self.final_params = None
+            self.batch_size = batch_size
+            self._place_batch = lambda xs: xs
+            self._init_batcher(window_s)
+            return
+        _, self.final_params = load_epoch_model(env, self.recipe, "final")
 
         # multi-device: replicate params, shard the request batch along
         # "data" (the same placement the trainers and eval reports use).
@@ -74,7 +104,9 @@ class ExplainService:
             self._fw_u8 = jax.jit(fw_u8)
         self.batch_size = batch_size
         self._place_batch = place_batch
+        self._init_batcher(window_s)
 
+    def _init_batcher(self, window_s: float) -> None:
         # cross-request dynamic batching: one dispatcher thread owns every
         # device call and packs rows from concurrent HTTP handlers into one
         # compiled slab.  window 0 still coalesces under load — while the
@@ -90,7 +122,7 @@ class ExplainService:
                 self.final_params, self._place_batch(jnp.asarray(slab))
             )
 
-        self._batcher = MicroBatcher(_run_slab, batch_size,
+        self._batcher = MicroBatcher(_run_slab, self.batch_size,
                                      window_s=window_s, depth=2)
 
     def close(self) -> None:
@@ -207,9 +239,10 @@ def make_server(
 
 def serve(env: ExpEnv, host: str, port: int, batch_size: int,
           window_s: float = 0.0,
-          u8_dequant: Tuple[float, float] = (1.0 / 255.0, 0.0)) -> None:
+          u8_dequant: Tuple[float, float] = (1.0 / 255.0, 0.0),
+          artifact=None) -> None:
     service = ExplainService(env, batch_size, window_s=window_s,
-                             u8_dequant=u8_dequant)
+                             u8_dequant=u8_dequant, artifact=artifact)
     env.log("[[[ warming up the compiled explain step... ]]]")
     service.warmup()
     server = make_server(service, host, port)
@@ -222,10 +255,11 @@ def serve(env: ExpEnv, host: str, port: int, batch_size: int,
 
 def serve_in_thread(
     env: ExpEnv, host: str = "127.0.0.1", port: int = 0, batch_size: int = 4,
-    window_s: float = 0.0,
+    window_s: float = 0.0, artifact=None,
 ):
     """Test helper: returns (server, service, thread); port 0 picks a free one."""
-    service = ExplainService(env, batch_size, window_s=window_s)
+    service = ExplainService(env, batch_size, window_s=window_s,
+                             artifact=artifact)
     service.warmup()
     server = make_server(service, host, port)
     thread = threading.Thread(target=server.serve_forever, daemon=True)

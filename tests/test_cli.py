@@ -61,3 +61,22 @@ def test_estimate_train_time_cmd(cli_exp: pathlib.Path):
         input="8\n", capture_output=True, text=True, timeout=1200, check=True,
     )
     assert "estimated training time" in proc.stdout
+
+
+def test_module_entry_and_packaging_metadata():
+    # `python -m autognothi_tpu` is the installed-distribution entry
+    # (pyproject [project.scripts] routes `autognothi` to the same main)
+    proc = subprocess.run(
+        [sys.executable, "-m", "autognothi_tpu", "--help"],
+        capture_output=True, text=True, timeout=120, check=True, cwd=REPO,
+    )
+    assert "run_all" in proc.stdout and "export_final" in proc.stdout
+
+    import tomllib
+
+    meta = tomllib.loads((REPO / "pyproject.toml").read_text())
+    assert meta["project"]["scripts"]["autognothi"] == "autognothi_tpu.cli:main"
+    # the native cores ship as source (built on first use) and the offline
+    # assets ride as package data — an sdist/wheel must include them
+    assert "*.cpp" in meta["tool"]["setuptools"]["package-data"][
+        "autognothi_tpu.native"]

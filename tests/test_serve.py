@@ -160,3 +160,38 @@ def test_concurrent_requests_share_slabs(served):
     finally:
         server2.shutdown()
         service2.close()
+
+
+def test_serve_from_export_artifact(served, tmp_path):
+    # the AOT deployment artifact (export_final) plugs straight into the
+    # serving layer: no checkpoints read, fixed batch dictated by the
+    # program, same answers as checkpoint-backed serving
+    server, service = served
+    from autognothi_tpu.pipeline.export import export_final
+    from autognothi_tpu.pipeline.serve import serve_in_thread
+
+    art = tmp_path / "final.jaxexp"
+    export_final(service.env, art, batch_size=2, platforms=["cpu"])
+    server2, service2, _ = serve_in_thread(service.env, port=0, artifact=art)
+    try:
+        assert service2.batch_size == 2  # artifact dictates the slab size
+        images = np.random.RandomState(1).randn(2, 3, 16, 16)
+        _, ckpt_body = _post(server, "/explain", {"images": images.tolist()})
+        status, art_body = _post(server2, "/explain", {"images": images.tolist()})
+        assert status == 200
+        np.testing.assert_allclose(
+            art_body["logits"], ckpt_body["logits"], atol=1e-4)
+        np.testing.assert_allclose(
+            art_body["attributions"], ckpt_body["attributions"], atol=1e-4)
+
+        # uint8 wire rows dequantize at the device boundary (the exported
+        # program itself only knows the recipe's input dtype)
+        u8 = (np.random.RandomState(2).rand(2, 3, 16, 16) * 255).astype(np.uint8)
+        status, body = _post(server2, "/explain", {"images_u8": u8.tolist()})
+        assert status == 200
+        ref = service2._fw(None, (u8.astype(np.float32) / 255.0))
+        np.testing.assert_allclose(
+            body["logits"], np.asarray(ref[0]), atol=1e-4)
+    finally:
+        server2.shutdown()
+        service2.close()
