@@ -19,11 +19,11 @@ import dataclasses
 import json
 import pathlib
 import random
-from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+from typing import (Any, Callable, Dict, Iterable, List, Optional, Tuple,
+                    TypedDict)
 
 import numpy as np
 import pydantic
-from typing_extensions import TypedDict
 
 _HERE = pathlib.Path(__file__).parent
 

@@ -155,13 +155,18 @@ def load_exported(path: pathlib.Path) -> Callable[[np.ndarray], Tuple]:
     bundled weights ride along as call arguments (see module docstring for
     why they are not constants).
     """
+    import jax
     from jax import export as jexport
 
     program, params = _unpack(pathlib.Path(path).read_bytes())
     exported = jexport.deserialize(program)
+    # jit the exported program with the weights as call ARGUMENTS (one
+    # executable per input shape/dtype; no host constant-folding through
+    # the weight-quant chain — module docstring)
+    pcall = jax.jit(exported.call)
 
     def call(xs):
-        return exported.call(params, xs)
+        return pcall(params, xs)
 
     # self-description for callers that must match the program's fixed
     # shape (pipeline/serve.py slabs requests to exactly this batch):
@@ -171,4 +176,9 @@ def load_exported(path: pathlib.Path) -> Callable[[np.ndarray], Tuple]:
         d if isinstance(d, int) else None for d in in_aval.shape)
     call.in_dtype = np.dtype(in_aval.dtype)
     call.platforms = tuple(exported.platforms)
+    # serving integration points: the jitted (params, xs) entry (so callers
+    # can fuse pre-processing like u8 dequant into the same executable) and
+    # the bundled weights themselves
+    call.pcall = pcall
+    call.params = params
     return call

@@ -59,13 +59,14 @@ class ExplainService:
                     f"{call.in_shape} {call.in_dtype}, platforms "
                     f"{call.platforms} (batch {batch_size}) ]]]")
             scale, offset = u8_dequant
-            self._fw = lambda _p, xs: call(xs)
-            # the exported program takes the recipe's own input dtype; u8
-            # wire rows dequantize at the device boundary instead of inside
-            # the program
-            self._fw_u8 = lambda _p, xs: call(
-                xs.astype(call.in_dtype) * scale + offset)
-            self.final_params = None
+            # call.pcall is the exported program jitted with the weights as
+            # runtime arguments; the u8 wire-format dequant traces into the
+            # SAME executable, so a u8 slab costs one dispatch like the
+            # checkpoint path (not 3 eager ops + an f32 intermediate)
+            self._fw = lambda p, xs: call.pcall(p, xs)
+            self._fw_u8 = jax.jit(lambda p, xs: call.pcall(
+                p, xs.astype(call.in_dtype) * scale + offset))
+            self.final_params = call.params
             self.batch_size = batch_size
             self._place_batch = lambda xs: xs
             self._init_batcher(window_s)

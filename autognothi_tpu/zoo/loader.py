@@ -15,12 +15,21 @@ params from the experiment seed — the zero-egress path used by tests.
 
 from __future__ import annotations
 
+import os
 import pathlib
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
-_STORE = pathlib.Path(__file__).parent / "store"
+# writable store for locally fine-tuned ft_* bases: pip installs can be
+# read-only (site-packages), so writes go to AUTOGNOTHI_ZOO or the user
+# cache; the in-package store/ stays as a read-only fallback so bases that
+# shipped with a source checkout keep loading.
+_STORE = pathlib.Path(
+    os.environ.get("AUTOGNOTHI_ZOO")
+    or pathlib.Path.home() / ".cache" / "autognothi" / "zoo"
+)
+_PKG_STORE = pathlib.Path(__file__).parent / "store"
 
 BERT_HUB_IDS = {
     "bert_tayp": ("textattack/bert-base-uncased-yelp-polarity", "seqcls"),
@@ -45,9 +54,13 @@ def _torch_sd_to_numpy(model) -> Dict[str, np.ndarray]:
 
 def _load_local_ft(name: str) -> Tuple[Dict[str, np.ndarray], Any]:
     store = _STORE / name
+    if not (store / "params.npz").exists() and (
+            _PKG_STORE / name / "params.npz").exists():
+        store = _PKG_STORE / name  # read-only fallback (source checkouts)
     if not (store / "params.npz").exists():
         raise FileNotFoundError(
-            f"fine-tuned base model '{name}' not found under {store} — run "
+            f"fine-tuned base model '{name}' not found under {_STORE / name} "
+            f"(or the bundled {_PKG_STORE / name}) — run "
             f"`pretrain_classifier` on the corresponding ft_ experiment first"
         )
     with np.load(store / "params.npz", allow_pickle=False) as data:

@@ -72,7 +72,8 @@ def test_module_entry_and_packaging_metadata():
     )
     assert "run_all" in proc.stdout and "export_final" in proc.stdout
 
-    import tomllib
+    # stdlib only since 3.11; the package itself supports >=3.10
+    tomllib = pytest.importorskip("tomllib")
 
     meta = tomllib.loads((REPO / "pyproject.toml").read_text())
     assert meta["project"]["scripts"]["autognothi"] == "autognothi_tpu.cli:main"

@@ -189,7 +189,8 @@ def test_serve_from_export_artifact(served, tmp_path):
         u8 = (np.random.RandomState(2).rand(2, 3, 16, 16) * 255).astype(np.uint8)
         status, body = _post(server2, "/explain", {"images_u8": u8.tolist()})
         assert status == 200
-        ref = service2._fw(None, (u8.astype(np.float32) / 255.0))
+        ref = service2._fw(
+            service2.final_params, (u8.astype(np.float32) / 255.0))
         np.testing.assert_allclose(
             body["logits"], np.asarray(ref[0]), atol=1e-4)
     finally:
