@@ -4,10 +4,16 @@ scripts/measure_train_resources.py).
 
 TPU instrumentation: per-step wall time is fenced by a device->host
 transfer; memory is the device allocator's `peak_bytes_in_use` delta where
-the backend exposes `memory_stats()` (real TPUs do; the CPU test backend
-reports 0).  Known reference quirk (measure_train_resources.py:154): the
-explainer step reuses `optim_srg` — we use the explainer's own optimizer and
-document the deviation here."""
+the backend exposes `memory_stats()` (real TPUs do).  Backends without
+allocator stats (CPU; some remote tunnels) fall back to XLA's static
+`compiled.memory_analysis()` of the step executables (argument + temp +
+output bytes — the program's device working set, constant across steps);
+`mem_estimator` in the report labels which estimator produced the MiB
+cells so they are never silently-meaningless zeros.  The reference always
+has allocator stats (torch.cuda, measure_train_resources.py:285-301).
+Known reference quirk (measure_train_resources.py:154): the explainer step
+reuses `optim_srg` — we use the explainer's own optimizer and document the
+deviation here."""
 
 from __future__ import annotations
 
@@ -64,6 +70,18 @@ class MeasureTrainResourcesReport(pydantic.BaseModel):
     srg_mem: MiBytesStats
     exp_tm: SecondsStats
     exp_mem: MiBytesStats
+    # which estimator filled the MiB cells: "device_allocator"
+    # (peak_bytes_in_use deltas) or "compiled_memory_analysis" (XLA static
+    # program analysis — backends without memory_stats)
+    mem_estimator: str = "device_allocator"
+
+
+def _allocator_available() -> bool:
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return bool(stats) and "peak_bytes_in_use" in stats
+    except Exception:
+        return False
 
 
 def _device_peak_mib() -> float:
@@ -74,6 +92,30 @@ def _device_peak_mib() -> float:
     except Exception:
         pass
     return 0.0
+
+
+def _compiled_mib(jitted, *args) -> float:
+    """Static device working set of one executable: argument + temp +
+    output bytes from XLA's memory analysis of the lowered program."""
+    try:
+        ma = jitted.lower(*args).compile().memory_analysis()
+        if ma is None:
+            return 0.0
+        return (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                + ma.output_size_in_bytes) / (1024 * 1024)
+    except Exception:
+        return 0.0
+
+
+def _tree_mib(*trees) -> float:
+    """Byte size of pytrees of arrays (init-region fallback: the setup
+    phase allocates exactly the params + optimizer states)."""
+    total = 0
+    for tree in trees:
+        for leaf in jax.tree.leaves(tree):
+            total += getattr(leaf, "size", 1) * getattr(
+                getattr(leaf, "dtype", np.dtype(np.float32)), "itemsize", 4)
+    return total / (1024 * 1024)
 
 
 def measure_train_resources(
@@ -96,6 +138,7 @@ def measure_train_resources(
         d_loader = load_cfg_dataset(d_config, env.model_path)
 
     # ---- setup resources: fresh params + optimizers
+    use_allocator = _allocator_available()
     mem_before = _device_peak_mib()
     t0 = time.perf_counter()
     key = iterative_key(config.seed, "measure_train_resources")
@@ -111,7 +154,11 @@ def measure_train_resources(
     )
     device_fence(exp_params)
     init_tm = time.perf_counter() - t0
-    init_mem = max(0.0, _device_peak_mib() - mem_before)
+    if use_allocator:
+        init_mem = max(0.0, _device_peak_mib() - mem_before)
+    else:  # static estimate: setup allocates the params + optimizer states
+        init_mem = _tree_mib(cls_params, srg_params, exp_params,
+                             opt_srg, opt_exp)
     env.log(f"init: {init_tm:.6f} s, {init_mem:.2f} MB")
 
     batch_size = config.eval_train_resources.batch_size
@@ -156,6 +203,14 @@ def measure_train_resources(
             device_fence(orig)
             srg_step(srg_params, opt_srg, lr_srg, srg_mask, xs, mask_rand,
                      orig, rng)
+            if not use_allocator:
+                # static fallback: the timed region runs two executables in
+                # sequence — its working set is the larger of the two
+                srg_mem_static = max(
+                    _compiled_mib(teacher, cls_params, xs, mask_1),
+                    _compiled_mib(srg_step, srg_params, opt_srg, lr_srg,
+                                  srg_mask, xs, mask_rand, orig, rng),
+                )
         mem_a = _device_peak_mib()
         # the teacher forward is INSIDE the timed region: the reference
         # computes orig_Ys within its timed _step (scripts/
@@ -168,7 +223,8 @@ def measure_train_resources(
         )
         device_fence(srg_params)
         srg_tms.append((time.perf_counter() - t0) / size)
-        srg_mems.append(max(0.0, _device_peak_mib() - mem_a))
+        srg_mems.append(max(0.0, _device_peak_mib() - mem_a)
+                        if use_allocator else srg_mem_static)
         seen += size
     env.log(f"surrogate: {np.mean(srg_tms):.6f} s/sample over {seen} samples")
 
@@ -220,6 +276,13 @@ def measure_train_resources(
             device_fence(v_s)
             exp_step(exp_params, opt_exp, lr_exp, exp_mask, xs, masks,
                      surrogate_null, v_s, v_1, rng)
+            if not use_allocator:
+                exp_mem_static = max(
+                    _compiled_mib(exp_teacher, srg_params, xs, masks),
+                    _compiled_mib(exp_step, exp_params, opt_exp, lr_exp,
+                                  exp_mask, xs, masks, surrogate_null,
+                                  v_s, v_1, rng),
+                )
         mem_a = _device_peak_mib()
         # teacher coalition sweep timed with the step (reference parity —
         # surrogate_values are computed inside its timed _step)
@@ -231,7 +294,8 @@ def measure_train_resources(
         )
         device_fence(exp_params)
         exp_tms.append((time.perf_counter() - t0) / size)
-        exp_mems.append(max(0.0, _device_peak_mib() - mem_a))
+        exp_mems.append(max(0.0, _device_peak_mib() - mem_a)
+                        if use_allocator else exp_mem_static)
         seen += size
     env.log(f"explainer: {np.mean(exp_tms):.6f} s/sample over {seen} samples")
 
@@ -242,4 +306,6 @@ def measure_train_resources(
         srg_mem=MiBytesStats.from_list(srg_mems),
         exp_tm=SecondsStats.from_list(exp_tms),
         exp_mem=MiBytesStats.from_list(exp_mems),
+        mem_estimator=("device_allocator" if use_allocator
+                       else "compiled_memory_analysis"),
     )

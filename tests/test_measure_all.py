@@ -49,6 +49,14 @@ def test_measure_all_produces_reports(trained_exp: pathlib.Path):
     assert perf["final"]["time_avg"] > 0
     assert perf["final"]["params_all"] > perf["classifier"]["params_all"]
 
+    # CPU has no device allocator stats: the MiB cells must come from the
+    # labeled XLA memory-analysis fallback, never silent zeros
+    trn = json.loads((reports / "train_resources.json").read_text())
+    assert trn["mem_estimator"] == "compiled_memory_analysis"
+    assert trn["init_mem"] > 0
+    assert trn["srg_mem"]["avg"] > 0
+    assert trn["exp_mem"]["avg"] > 0
+
     # caching: mutate a cached file, re-run, it must NOT be recomputed
     sentinel = dict(acc)
     sentinel["accuracy"] = [0.123] * 3
