@@ -77,7 +77,24 @@ def param_pspec(name: str, ndim: int) -> P:
 
 
 def shard_params(params: Params, mesh: Mesh) -> Params:
-    """Place a flat param dict onto the mesh per `param_pspec`."""
+    """Place a flat param dict onto the mesh per `param_pspec`.
+
+    Fails closed (ValueError naming every offending weight) when a sharded
+    dim does not divide its mesh axis — device_put would otherwise surface
+    an opaque runtime error, and GSPMD must never pad a weight silently.
+    Divisibility gates the flagship dims: hidden 768 / heads 12 / ladder 96
+    all divide TP in {2, 3, 4, 6, 12}."""
+    bad = []
+    for name, value in params.items():
+        spec = param_pspec(name, value.ndim)
+        for dim, axis in zip(value.shape, spec):
+            if axis is not None and dim % mesh.shape[axis] != 0:
+                bad.append(f"{name}: shape {tuple(value.shape)} cannot "
+                           f"shard {spec} over {axis}={mesh.shape[axis]}")
+    if bad:
+        raise ValueError(
+            "tensor-parallel sharding does not divide the mesh — pick a "
+            "model_parallel that divides these dims:\n  " + "\n  ".join(bad))
     out: Params = {}
     for name, value in params.items():
         spec = param_pspec(name, value.ndim)
