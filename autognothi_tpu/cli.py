@@ -143,6 +143,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="embed the fused Pallas kernels (+int8 when "
                         "AUTOGNOTHI_INT8=1): full serving throughput, but "
                         "the artifact pins to --platforms tpu")
+    p.add_argument("--data-parallel", dest="data_parallel", default=1,
+                   type=int,
+                   help="export a mesh-sharded artifact for N devices "
+                        "(weights replicated, slab rows split; serve "
+                        "--artifact then shards over the first N local "
+                        "devices); needs no devices at export time")
 
     cmd("__show_fridge__", device=False)
     p = cmd("__preview_text_shapley__", dataset=True)
@@ -346,7 +352,7 @@ def main(argv: Optional[List[str]] = None) -> None:
 
         export_final(env, args.into, args.batch_size,
                      platforms=[s for s in args.platforms.split(",") if s],
-                     kernels=args.kernels)
+                     kernels=args.kernels, data_parallel=args.data_parallel)
     elif command == "__show_fridge__":
         from .pipeline.show_fridge import show_fridge
 

@@ -30,6 +30,16 @@ Design notes:
   BOTH `tpu` and `cpu` so one file serves either backend;
 - fixed batch, matching the serving layer's fixed-shape slab contract
   (pad the last request like `pipeline/serve.py` does);
+- `--data-parallel N` exports a MESH-SHARDED program: the serving forward
+  is shard_map-wrapped over an N-device `AbstractMesh(("data",))` with the
+  weights replicated and the batch split along "data", and the input avals
+  carry those shardings, so the serialized program records `nr_devices=N`
+  and — like the live serving path — compiles with ZERO cross-device
+  collectives (the pallas kernels run per-shard; plain GSPMD would
+  replicate them behind all-gathers, tests/test_pallas_gspmd.py).  An
+  AbstractMesh needs no devices at export time: a single-chip process can
+  export a pod artifact; at load time `load_exported` binds it to the
+  first N local devices and fails closed when fewer exist;
 - the KernelSHAP baseline's final is host-side WLS (`fw_final_host`) and
   cannot be exported — fails closed with a clear error.
 """
@@ -67,21 +77,92 @@ def _unpack(blob: bytes):
     return program, params
 
 
+def build_final_export(fw_final, final_params: dict, null: np.ndarray,
+                       batch_size: int,
+                       platforms: Sequence[str] = DEFAULT_PLATFORMS,
+                       modes: Tuple[str, str] = ("0", "none"),
+                       data_parallel: int = 1):
+    """Trace + serialize a serving program; shared by `export_final` and
+    the multichip dryrun.  -> (jax.export.Exported, in_spec).
+
+    `fw_final(params, xs) -> (probs, attr)` in the checkpoint's own dtypes;
+    `modes = (pallas_mode, quant_mode)` pin the compute path during the
+    trace (see `export_final`).  `data_parallel > 1` shard_map-wraps the
+    forward over an `AbstractMesh((N,), ("data",))` and annotates the
+    avals, producing an `nr_devices=N` artifact a single-device process can
+    still export (module docstring)."""
+    import jax
+    from jax import export as jexport
+
+    from ..models.common import pallas_override, quant_override
+
+    if batch_size == 0:
+        # batch-polymorphic artifact: one lowering serves ANY batch.  The
+        # XLA path traces cleanly with a symbolic leading dim; the Pallas
+        # kernels cannot (static grids/block shapes) and a sharded batch
+        # needs a concrete per-shard size.
+        if modes[0] not in ("0", ""):
+            raise SystemExit("--kernels needs a fixed --batch-size "
+                             "(Pallas grids are static)")
+        if data_parallel > 1:
+            raise SystemExit("a batch-polymorphic artifact cannot be "
+                             "mesh-sharded — pass a fixed --batch-size")
+        batch_dim = jexport.symbolic_shape("b")[0]
+    else:
+        batch_dim = batch_size
+    if data_parallel > 1 and batch_size % data_parallel != 0:
+        raise SystemExit(
+            f"--batch-size {batch_size} does not divide --data-parallel "
+            f"{data_parallel}: every device must get equal slab rows")
+
+    def fw(params, xs):
+        with pallas_override(modes[0]), quant_override(modes[1]):
+            return fw_final(params, xs)
+
+    in_shape = (batch_dim,) + null.shape[1:]
+    if data_parallel > 1:
+        from jax.sharding import AbstractMesh, NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import sharded_serving_fn
+
+        am = AbstractMesh((data_parallel,), ("data",))
+        rep = NamedSharding(am, P())
+        in_spec = jax.ShapeDtypeStruct(
+            in_shape, null.dtype,
+            sharding=NamedSharding(am, P("data", *([None] * len(null.shape[1:])))))
+        param_specs = {
+            k: jax.ShapeDtypeStruct(np.shape(v), np.asarray(v).dtype,
+                                    sharding=rep)
+            for k, v in final_params.items()
+        }
+        jit_fw = sharded_serving_fn(fw, am)  # already jit-wrapped
+    else:
+        in_spec = jax.ShapeDtypeStruct(in_shape, null.dtype)
+        param_specs = {
+            k: jax.ShapeDtypeStruct(np.shape(v), np.asarray(v).dtype)
+            for k, v in final_params.items()
+        }
+        jit_fw = jax.jit(fw)
+
+    exported = jexport.export(jit_fw, platforms=list(platforms))(
+        param_specs, in_spec)
+    return exported, in_spec
+
+
 def export_final(env: ExpEnv, into: pathlib.Path, batch_size: int = 8,
                  platforms: Sequence[str] = DEFAULT_PLATFORMS,
-                 kernels: bool = False) -> dict:
+                 kernels: bool = False, data_parallel: int = 1) -> dict:
     """Serialize the final model at a fixed batch size; returns metadata.
 
     `kernels=True` embeds the fused Pallas block kernels (and the int8
     serving path when AUTOGNOTHI_INT8=1) instead of the portable XLA math:
     the artifact then contains Mosaic custom calls, runs at the measured
     serving throughput, and is pinned to `platforms=["tpu"]`.
+
+    `data_parallel=N` exports a mesh-sharded artifact (module docstring):
+    the program records nr_devices=N, `serve --artifact` shards each slab
+    over the first N local devices, and N=1 stays the portable default.
     """
-    import jax
-    from jax import export as jexport
-
-    from ..models.common import pallas_override, quant_override
-
     recipe, m_config = get_recipe(env.config)
     if recipe.fw_final_host:
         raise SystemExit(
@@ -102,32 +183,14 @@ def export_final(env: ExpEnv, into: pathlib.Path, batch_size: int = 8,
     _, final_params = load_epoch_model(env, recipe, "final")
     misc = recipe.load_misc(env.model_path, m_config)
     null = np.asarray(recipe.gen_null(m_config, misc))
-    if batch_size == 0:
-        # batch-polymorphic artifact: one lowering serves ANY batch.  The
-        # XLA path traces cleanly with a symbolic leading dim; the Pallas
-        # kernels cannot (static grids/block shapes).
-        if kernels:
-            raise SystemExit("--kernels needs a fixed --batch-size "
-                             "(Pallas grids are static)")
-        batch_dim = jexport.symbolic_shape("b")[0]
-    else:
-        batch_dim = batch_size
-    in_spec = jax.ShapeDtypeStruct((batch_dim,) + null.shape[1:],
-                                   null.dtype)
-    param_specs = {
-        k: jax.ShapeDtypeStruct(np.shape(v), np.asarray(v).dtype)
-        for k, v in final_params.items()
-    }
 
-    def fw(params, xs):
-        with pallas_override(modes[0]), quant_override(modes[1]):
-            return recipe.fw_final(m_config, params, xs)
-
-    env.log(f"[[[ export_final: batch {batch_size}, input "
-            f"{in_spec.shape} {in_spec.dtype}, platforms "
-            f"{list(platforms)}, kernels={kernels} ]]]")
-    exported = jexport.export(jax.jit(fw), platforms=list(platforms))(
-        param_specs, in_spec)
+    env.log(f"[[[ export_final: batch {batch_size}, platforms "
+            f"{list(platforms)}, kernels={kernels}, "
+            f"data_parallel={data_parallel} ]]]")
+    exported, in_spec = build_final_export(
+        lambda p, xs: recipe.fw_final(m_config, p, xs), final_params, null,
+        batch_size, platforms=platforms, modes=modes,
+        data_parallel=data_parallel)
     blob = _pack(exported.serialize(), final_params)
     into = pathlib.Path(into)
     into.write_bytes(blob)
@@ -142,6 +205,7 @@ def export_final(env: ExpEnv, into: pathlib.Path, batch_size: int = 8,
         "kernels": kernels,
         "quant": modes[1],
         "n_params": len(final_params),
+        "nr_devices": exported.nr_devices,
     }
     env.log(f"[[[ export_final: wrote {meta['bytes']} bytes -> {into} ]]]")
     return meta
@@ -165,8 +229,36 @@ def load_exported(path: pathlib.Path) -> Callable[[np.ndarray], Tuple]:
     # the weight-quant chain — module docstring)
     pcall = jax.jit(exported.call)
 
+    nr = exported.nr_devices
+    if nr > 1:
+        # mesh-sharded artifact: bind it to the first nr local devices —
+        # weights replicated, slab rows split along "data" (the shardings
+        # the program was exported with)
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = jax.devices()
+        if len(devices) < nr:
+            raise ValueError(
+                f"this artifact was exported for {nr} devices "
+                f"(--data-parallel {nr}); the current backend exposes only "
+                f"{len(devices)} — re-export with a smaller --data-parallel "
+                "or serve on a bigger slice")
+        mesh = Mesh(np.asarray(devices[:nr]), ("data",))
+        rep = NamedSharding(mesh, P())
+
+        def place_batch(xs):
+            spec = P("data", *([None] * (xs.ndim - 1)))
+            return jax.device_put(xs, NamedSharding(mesh, spec))
+
+        params = {k: jax.device_put(v, rep) for k, v in params.items()}
+    else:
+        # single transfer up front; jit args would otherwise re-upload the
+        # numpy weights on every call
+        params = {k: jax.device_put(v) for k, v in params.items()}
+        place_batch = lambda xs: xs  # noqa: E731
+
     def call(xs):
-        return pcall(params, xs)
+        return pcall(params, place_batch(jax.numpy.asarray(xs)))
 
     # self-description for callers that must match the program's fixed
     # shape (pipeline/serve.py slabs requests to exactly this batch):
@@ -177,8 +269,11 @@ def load_exported(path: pathlib.Path) -> Callable[[np.ndarray], Tuple]:
     call.in_dtype = np.dtype(in_aval.dtype)
     call.platforms = tuple(exported.platforms)
     # serving integration points: the jitted (params, xs) entry (so callers
-    # can fuse pre-processing like u8 dequant into the same executable) and
-    # the bundled weights themselves
+    # can fuse pre-processing like u8 dequant into the same executable),
+    # the bundled weights (device-placed; replicated when mesh-sharded),
+    # and the batch placer that shards slab rows for nr_devices > 1
     call.pcall = pcall
     call.params = params
+    call.place_batch = place_batch
+    call.nr_devices = nr
     return call

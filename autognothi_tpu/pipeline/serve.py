@@ -48,8 +48,10 @@ class ExplainService:
             # is byte-for-byte what was exported (weights ride as runtime
             # arguments precisely so this matches the live path).  Fixed-
             # batch artifacts dictate the slab size; batch-polymorphic ones
-            # (--batch-size 0) keep the requested one.  Single-device by
-            # construction (the program embeds no mesh).
+            # (--batch-size 0) keep the requested one.  A mesh-sharded
+            # artifact (export_final --data-parallel N) binds to the first
+            # N local devices: weights replicated, slab rows split along
+            # "data" — fails closed in load_exported when fewer exist.
             from .export import load_exported
 
             call = load_exported(artifact)
@@ -57,7 +59,8 @@ class ExplainService:
                 batch_size = call.in_shape[0]
             env.log(f"[[[ serving artifact {artifact}: input "
                     f"{call.in_shape} {call.in_dtype}, platforms "
-                    f"{call.platforms} (batch {batch_size}) ]]]")
+                    f"{call.platforms}, devices {call.nr_devices} "
+                    f"(batch {batch_size}) ]]]")
             scale, offset = u8_dequant
             # call.pcall is the exported program jitted with the weights as
             # runtime arguments; the u8 wire-format dequant traces into the
@@ -68,7 +71,7 @@ class ExplainService:
                 p, xs.astype(call.in_dtype) * scale + offset))
             self.final_params = call.params
             self.batch_size = batch_size
-            self._place_batch = lambda xs: xs
+            self._place_batch = call.place_batch
             self._init_batcher(window_s)
             return
         _, self.final_params = load_epoch_model(env, self.recipe, "final")
