@@ -15,14 +15,27 @@ ladders) are measured too and reported under `{vanilla,froyo}_expl_per_sec`
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
-denominator is an engineering estimate of the torch reference's *vanilla*
-fw_final throughput on A100 (eager fp16, batch-optimal): ~450
-explanations/sec (3 ViT-B forwards/explanation at ~1350 img/s).  Replace
-with a measured number when an A100 run exists.  MEASURED anchors exist on
-this host (playground/perf_anchor.py, 1 CPU core, torch eager):
-vanilla fw_final 0.932 expl/s; the `vs_ref_cpu_measured` field reports the
-same-architecture ratio (LTT TPU vs LTT torch-CPU when available).
+BASELINE ACCOUNTING — two ratios, both always emitted (verdict r3 #1):
+
+- `vs_baseline` (per family: `<fam>_vs_baseline`): the CROSS-ARCHITECTURE
+  ratio against the estimated torch *vanilla* 3-tower A100 throughput
+  (~450 expl/s = 3 ViT-B fwds/expl at ~1350 img/s eager fp16).  This reads
+  as "explanations/sec bought per chip vs the reference's default serving
+  stack", and it credits the LTT/froyo architectures (which the reference
+  also ships) for doing less work per explanation.
+- `vs_baseline_matched` (per family): the METHOD-MATCHED ratio — each
+  family's TPU throughput over the SAME family's estimated A100 torch
+  throughput.  Per-family A100 estimates derive from the measured same-host
+  torch-CPU anchors (playground/perf_anchor.py, batch-1 eager, 1 core)
+  scaled by the same 483x CPU->A100 factor the vanilla estimate implies
+  (450 / 0.932).  This reads as "how much faster is this framework on this
+  chip than torch would run the IDENTICAL model on an A100" — the honest
+  framework-vs-framework number: ~2-3x/chip, not 5-8x.
+  Measured CPU anchors: vanilla 0.932, LTT 2.347, froyo 2.525 expl/s
+  (reference's own measure_performance protocol; froyo_vit needs the
+  documented upstream signature fix, reference_run.py).
+- `vs_ref_cpu_measured` (per family): TPU vs the measured same-arch
+  torch-CPU anchor directly — the only ratio with no estimated factor.
 
 Each model benches in its OWN subprocess: benchmarking two large models in
 one tunnel process shows ~10x degradation for the second (BASELINE.md r1
@@ -36,9 +49,17 @@ import sys
 import time
 
 A100_TORCH_EST_EXPL_PER_SEC = 450.0
-TORCH_CPU_MEASURED_EXPL_PER_SEC = 0.932   # vanilla fw_final, perf_anchor.py
-TORCH_CPU_MEASURED_LTT_EXPL_PER_SEC = 2.347  # LTT fw_final, perf_anchor.py
-# (426.1 ms/expl batch-1, torch eager, 1 CPU core, same-host measured r3)
+# measured same-host torch-CPU anchors (perf_anchor.py, batch-1 eager,
+# 1 core): ms/expl -> expl/s; r3 (vanilla/ltt), r4 (froyo)
+TORCH_CPU_MEASURED = {
+    "vanilla": 0.932,   # 1073 ms/expl
+    "ltt": 2.347,       # 426 ms/expl
+    "froyo": 2.525,     # 396 ms/expl
+}
+CPU_TO_A100_FACTOR = A100_TORCH_EST_EXPL_PER_SEC / TORCH_CPU_MEASURED["vanilla"]
+A100_TORCH_EST = {  # method-matched per-family A100 estimates
+    fam: cpu * CPU_TO_A100_FACTOR for fam, cpu in TORCH_CPU_MEASURED.items()
+}
 
 WARMUP = 3
 ITERS = 10
@@ -162,12 +183,16 @@ def main() -> None:
         # member (no ladders); vanilla: the r1/r2 3-tower headline
         try:
             res = _run_child(name)
-            extra[f"{name}_expl_per_sec"] = round(res["expl_per_sec"], 2)
+            v = res["expl_per_sec"]
+            extra[f"{name}_expl_per_sec"] = round(v, 2)
+            # cross-architecture (vanilla-anchored) AND method-matched
+            # ratios, every round (module docstring)
             extra[f"{name}_vs_baseline"] = round(
-                res["expl_per_sec"] / A100_TORCH_EST_EXPL_PER_SEC, 3)
-            if name == "vanilla":  # same-architecture measured CPU anchor
-                extra["vanilla_vs_ref_cpu_measured"] = round(
-                    res["expl_per_sec"] / TORCH_CPU_MEASURED_EXPL_PER_SEC, 1)
+                v / A100_TORCH_EST_EXPL_PER_SEC, 3)
+            extra[f"{name}_vs_baseline_matched"] = round(
+                v / A100_TORCH_EST[name], 3)
+            extra[f"{name}_vs_ref_cpu_measured"] = round(
+                v / TORCH_CPU_MEASURED[name], 1)
         except Exception as exc:  # secondary metrics must not sink the headline
             extra[f"{name}_error"] = str(exc)[:200]
 
@@ -176,9 +201,12 @@ def main() -> None:
         "metric": "ltt_vit_base_224_explanations_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "explanations/s",
+        # cross-architecture: LTT TPU vs the vanilla-3-tower A100 estimate
         "vs_baseline": round(value / A100_TORCH_EST_EXPL_PER_SEC, 3),
-        "vs_ref_cpu_measured": round(
-            value / TORCH_CPU_MEASURED_LTT_EXPL_PER_SEC, 1),
+        # method-matched: LTT TPU vs the LTT A100 estimate (the honest
+        # framework-vs-framework multiple — see module docstring)
+        "vs_baseline_matched": round(value / A100_TORCH_EST["ltt"], 3),
+        "vs_ref_cpu_measured": round(value / TORCH_CPU_MEASURED["ltt"], 1),
         **extra,
     }))
 

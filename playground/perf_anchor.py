@@ -42,6 +42,10 @@ TRACKS = {
     "ltt_vit": (ref.LTT_VIT_NET_PARAMS, "ltt_vit"),
     "ltt_bert": (ref.LTT_BERT_NET_PARAMS, "ltt_bert"),
     "froyo_bert": (ref.FROYO_BERT_NET_PARAMS, "froyo_bert"),
+    # froyo ViT = vanilla ViT dims with the frozen-backbone single-trunk
+    # final (the bench.py secondary family closest to the 10x bar) — its
+    # anchor makes vs_baseline_matched possible for every benched family
+    "froyo_vit": (ref.VIT_BASE_NET_PARAMS, "froyo_vit"),
 }
 
 
@@ -98,6 +102,11 @@ def run_reference(track: str, exp: pathlib.Path) -> dict:
         # the reference's ltt_vit conv chain has a missing-rule bug
         # (reference_run.install_ltt_vit_conv_fix docstring)
         ref.install_ltt_vit_conv_fix()
+    if track == "froyo_vit":
+        # the reference's FroyoViTFinal.forward signature does not match its
+        # own recipe call — unrunnable as shipped
+        # (reference_run.install_froyo_vit_final_fix docstring)
+        ref.install_froyo_vit_final_fix()
     if not (exp / ".hparams.json").exists():
         params, kind = TRACKS[track]
         if _is_vit(track):

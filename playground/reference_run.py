@@ -408,6 +408,29 @@ def install_ltt_vit_conv_fix() -> None:
     r._conv_surrogate_explainer = fixed
 
 
+def install_froyo_vit_final_fix() -> None:
+    """UPSTREAM BUG WORKAROUND: the reference's `FroyoViTFinal.forward`
+    (/root/reference/models/froyo_vit.py:140-146) declares
+    `surrogate_grand`/`surrogate_null` positional parameters it never uses
+    (it recomputes both internally from `srg_logits`/`self.surrogate_null`,
+    froyo_vit.py:163-169), while its own recipe `_fw_final`
+    (/root/reference/recipes/froyo_vit.py:215-224) calls `model(xs, mask)`
+    without them — a TypeError on every invocation, so the shipped froyo_vit
+    Final cannot run at all.  Its froyo_bert sibling's forward correctly
+    takes 3 args (froyo_bert.py:152-157).  Default the two dead parameters
+    to None (they are never read); everything else is stock reference
+    code."""
+    from reference.models.froyo_vit import FroyoViTFinal
+
+    orig = FroyoViTFinal.forward
+
+    def fixed(self, x, attention_mask, surrogate_grand=None,
+              surrogate_null=None):
+        return orig(self, x, attention_mask, surrogate_grand, surrogate_null)
+
+    FroyoViTFinal.forward = fixed
+
+
 CV_SAMPLES_SPEC = dict(train_size=8, test_size=4, img_px_size=16,
                        num_classes=3, seed=7)
 
