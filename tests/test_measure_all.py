@@ -48,6 +48,11 @@ def test_measure_all_produces_reports(trained_exp: pathlib.Path):
     perf = json.loads((reports / "performance.json").read_text())
     assert perf["final"]["time_avg"] > 0
     assert perf["final"]["params_all"] > perf["classifier"]["params_all"]
+    # per-stage device working set, labeled (extension; CPU exposes XLA's
+    # static memory analysis)
+    for stage in ("classifier", "surrogate", "explainer", "final"):
+        assert perf[stage]["mem_mib"] > 0, stage
+        assert perf[stage]["mem_estimator"] == "compiled_memory_analysis"
 
     # CPU has no device allocator stats: the MiB cells must come from the
     # labeled XLA memory-analysis fallback, never silent zeros
