@@ -74,8 +74,10 @@ def _bench_model(model: str) -> None:
     from autognothi_tpu.models.common import cast_tree
 
     # batch knees measured on the chip: vanilla 256 (r1 sweep, flat past);
-    # LTT 384 (r3 sweep: 2475@128, 2586@256, 2623@384, 2629@512)
-    default_batch = "384" if model == "ltt" else "256"
+    # LTT 384 (r3 sweep: 2475@128, 2586@256, 2623@384, 2629@512); froyo 512
+    # (r4 sweep: 3717@256, 3773@384, 3805@512 — the lighter tail amortizes
+    # the fixed cost further out than the 3-tower models)
+    default_batch = {"ltt": "384", "froyo": "512"}.get(model, "256")
     batch = int(os.environ.get("AUTOGNOTHI_BENCH_BATCH", default_batch))
 
     if model == "ltt":
