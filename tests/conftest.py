@@ -19,6 +19,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent XLA compile cache for the suite: hundreds of tiny executables
+# recompile identically across tests and subprocess children (CLI runs,
+# dryruns); a warm stable cache cuts full-suite wall time substantially
+# (measured r3: mini run_all 78s -> 23s, reports bit-identical).  The env
+# var propagates to subprocess tests whose CLI bootstrap reads it.
+# Opt out with AUTOGNOTHI_COMPILE_CACHE=0.
+os.environ.setdefault("AUTOGNOTHI_COMPILE_CACHE",
+                      "/tmp/autognothi_test_xla_cache")
+
+from autognothi_tpu.utils.devices import maybe_enable_compile_cache  # noqa: E402
+
+maybe_enable_compile_cache()
+
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running integration test")

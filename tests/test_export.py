@@ -173,6 +173,24 @@ def test_serve_sharded_artifact_end_to_end(trained_exp, tmp_path):
         service.close()
 
 
+def test_sharded_artifact_fails_closed_on_fewer_devices(trained_exp,
+                                                        tmp_path,
+                                                        monkeypatch):
+    """An nr_devices=8 artifact on a 2-device backend must refuse loudly at
+    load (not crash opaquely at the first slab)."""
+    import jax
+
+    from autognothi_tpu.pipeline.export import export_final, load_exported
+
+    artifact = tmp_path / "final_dp8_small.jaxexp"
+    export_final(trained_exp, artifact, batch_size=8, platforms=["cpu"],
+                 data_parallel=8)
+    real = jax.devices()
+    monkeypatch.setattr(jax, "devices", lambda *a: real[:2])
+    with pytest.raises(ValueError, match="8 devices"):
+        load_exported(artifact)
+
+
 def test_export_cli_verb(trained_exp, tmp_path):
     from autognothi_tpu.cli import main
 
@@ -181,6 +199,15 @@ def test_export_cli_verb(trained_exp, tmp_path):
     main(["export_final", str(env.model_path), "--into", str(out),
           "--batch-size", "2", "--platforms", "cpu", "--device", "cpu"])
     assert out.stat().st_size > 0
+
+    # the --data-parallel flag reaches the exporter (mesh-sharded artifact)
+    out8 = tmp_path / "cli_dp8.jaxexp"
+    main(["export_final", str(env.model_path), "--into", str(out8),
+          "--batch-size", "8", "--platforms", "cpu", "--device", "cpu",
+          "--data-parallel", "8"])
+    from autognothi_tpu.pipeline.export import load_exported
+
+    assert load_exported(out8).nr_devices == 8
 
 
 def test_export_kernel_shap_fails_closed(tmp_path):

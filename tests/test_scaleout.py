@@ -277,3 +277,36 @@ def test_two_process_shard_map_serving():
         assert info["global_devices"] == 4
         assert info["serve_ok"] is True
         assert info["probs_shape"] == [4, 3]
+
+
+@pytest.mark.slow
+def test_weak_scaling_harness_runs_mini():
+    """The multi-chip weak-scaling measurement protocol
+    (playground/bench_scaling.py --mini) stays runnable: doubling mesh
+    sweep over the 8 virtual devices, shard_map serving layout, efficiency
+    accounting — the harness a real pod run will use."""
+    import os
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=8"])
+    proc = subprocess.run(
+        [sys.executable, "playground/bench_scaling.py", "--mini"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [json.loads(line) for line in proc.stdout.splitlines()
+            if line.startswith("{")]
+    meshes = [r["mesh"] for r in rows if "mesh" in r]
+    assert meshes == [1, 2, 4, 8], meshes  # doubling sweep over the mesh
+    one_chip = next(r for r in rows if r.get("mesh") == 1)
+    assert abs(one_chip["efficiency"] - 1.0) < 1e-6
+    summary = rows[-1]
+    assert summary["metric"].endswith("serving_weak_scaling")
+    assert len(summary["rows"]) == 4
