@@ -143,8 +143,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="embed the fused Pallas kernels (+int8 when "
                         "AUTOGNOTHI_INT8=1): full serving throughput, but "
                         "the artifact pins to --platforms tpu")
+    def _positive(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError(
+                f"--data-parallel must be >= 1, got {n}")
+        return n
+
     p.add_argument("--data-parallel", dest="data_parallel", default=1,
-                   type=int,
+                   type=_positive,
                    help="export a mesh-sharded artifact for N devices "
                         "(weights replicated, slab rows split; serve "
                         "--artifact then shards over the first N local "

@@ -19,11 +19,17 @@ import dataclasses
 import json
 import pathlib
 import random
-from typing import (Any, Callable, Dict, Iterable, List, Optional, Tuple,
-                    TypedDict)
+import sys
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
 import pydantic
+
+if sys.version_info >= (3, 12):
+    from typing import TypedDict
+else:  # pydantic v2 rejects stdlib TypedDict fields on <3.12; the
+    # typing_extensions backend is guaranteed present (pydantic requires it)
+    from typing_extensions import TypedDict
 
 _HERE = pathlib.Path(__file__).parent
 

@@ -112,7 +112,7 @@ def build_final_export(fw_final, final_params: dict, null: np.ndarray,
         batch_dim = batch_size
     if data_parallel > 1 and batch_size % data_parallel != 0:
         raise SystemExit(
-            f"--batch-size {batch_size} does not divide --data-parallel "
+            f"--batch-size {batch_size} is not divisible by --data-parallel "
             f"{data_parallel}: every device must get equal slab rows")
 
     def fw(params, xs):
@@ -236,11 +236,12 @@ def load_exported(path: pathlib.Path) -> Callable[[np.ndarray], Tuple]:
         # the program was exported with)
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-        devices = jax.devices()
+        devices = jax.local_devices()  # process-addressable: device_put
+        # below must be able to place shards from this host
         if len(devices) < nr:
             raise ValueError(
                 f"this artifact was exported for {nr} devices "
-                f"(--data-parallel {nr}); the current backend exposes only "
+                f"(--data-parallel {nr}); the current process addresses only "
                 f"{len(devices)} — re-export with a smaller --data-parallel "
                 "or serve on a bigger slice")
         mesh = Mesh(np.asarray(devices[:nr]), ("data",))

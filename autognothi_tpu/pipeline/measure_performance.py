@@ -119,7 +119,12 @@ def compiled_gflops(jitted, *args) -> float:
 
 def compiled_mem_mib(jitted, *args) -> Optional[float]:
     """Static device working set of one executable (argument + temp +
-    output bytes, XLA memory analysis) in MiB; None when unavailable."""
+    output bytes, XLA memory analysis) in MiB; None when unavailable.
+
+    Cost note: called AFTER the timed loop has executed `jitted(*args)`,
+    this AOT lower+compile is a free in-memory cache hit (measured: the
+    call path populates the executable cache the AOT path reads; the
+    REVERSE order would recompile) — no extra tunnel compiles here."""
     try:
         ma = jitted.lower(*args).compile().memory_analysis()
         if ma is None:

@@ -95,16 +95,12 @@ def _device_peak_mib() -> float:
 
 
 def _compiled_mib(jitted, *args) -> float:
-    """Static device working set of one executable: argument + temp +
-    output bytes from XLA's memory analysis of the lowered program."""
-    try:
-        ma = jitted.lower(*args).compile().memory_analysis()
-        if ma is None:
-            return 0.0
-        return (ma.argument_size_in_bytes + ma.temp_size_in_bytes
-                + ma.output_size_in_bytes) / (1024 * 1024)
-    except Exception:
-        return 0.0
+    """Static device working set of one executable (0.0 when unavailable);
+    the shared estimator lives in measure_performance.compiled_mem_mib."""
+    from .measure_performance import compiled_mem_mib
+
+    mib = compiled_mem_mib(jitted, *args)
+    return 0.0 if mib is None else mib
 
 
 def _tree_mib(*trees) -> float:

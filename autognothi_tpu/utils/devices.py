@@ -35,7 +35,16 @@ def maybe_enable_compile_cache() -> Optional[str]:
     else:
         cache_dir = os.path.expanduser(val)
     pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    redirecting = (jax.config.jax_compilation_cache_dir or "") not in (
+        "", cache_dir)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
+    if redirecting:
+        # jax initializes the persistent cache object lazily and keeps it;
+        # once any compile has touched the old dir, a config update alone is
+        # silently ignored — reset so the new dir actually takes effect
+        from jax.experimental.compilation_cache import compilation_cache
+
+        compilation_cache.reset_cache()
     # cache every executable: the tunnel's cost floor is per-dispatch, not
     # per-FLOP, so even sub-second compiles are worth persisting
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)

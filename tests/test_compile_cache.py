@@ -25,6 +25,11 @@ def _restore(s):
     jax.config.update("jax_compilation_cache_dir", s["dir"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", s["secs"])
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", s["bytes"])
+    # the initialized cache object still points at the test dir; drop it so
+    # later suite compiles go back to the restored dir (lazy re-init)
+    from jax.experimental.compilation_cache import compilation_cache
+
+    compilation_cache.reset_cache()
 
 
 def test_unset_is_off(monkeypatch):

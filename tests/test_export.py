@@ -133,7 +133,7 @@ def test_export_mesh_sharded_artifact(trained_exp, tmp_path):
         assert not re.findall(op, txt), op
 
     # contract edges fail closed
-    with pytest.raises(SystemExit, match="divide"):
+    with pytest.raises(SystemExit, match="divisible"):
         export_final(env, tmp_path / "bad.jaxexp", batch_size=6,
                      platforms=["cpu"], data_parallel=8)
     with pytest.raises(SystemExit, match="mesh-sharded"):
@@ -185,8 +185,8 @@ def test_sharded_artifact_fails_closed_on_fewer_devices(trained_exp,
     artifact = tmp_path / "final_dp8_small.jaxexp"
     export_final(trained_exp, artifact, batch_size=8, platforms=["cpu"],
                  data_parallel=8)
-    real = jax.devices()
-    monkeypatch.setattr(jax, "devices", lambda *a: real[:2])
+    real = jax.local_devices()
+    monkeypatch.setattr(jax, "local_devices", lambda *a, **k: real[:2])
     with pytest.raises(ValueError, match="8 devices"):
         load_exported(artifact)
 

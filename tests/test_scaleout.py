@@ -12,7 +12,6 @@ fused train step must reduce (grad psums) but never all-gather.
 """
 
 import json
-import re
 import socket
 import subprocess
 import sys
@@ -26,11 +25,9 @@ import pytest
 from tests.test_parallel import _mini_cfg, _run_step, _step_inputs
 
 
-def _collective_counts(compiled) -> dict:
-    txt = compiled.as_text()
-    return {k: len(re.findall(k, txt))
-            for k in ("all-gather", "all-reduce", "collective-permute",
-                      "reduce-scatter", "all-to-all")}
+# the production dryrun's counter — importing it keeps these pins and the
+# driver-run assertions counting the same ops the same way
+from __graft_entry__ import _collective_counts  # noqa: E402
 
 
 # ------------------------------------------------------ in-process: TP=4
