@@ -10,6 +10,7 @@ non-matching epoch is deleted after each save (resources.py:189-217).
 
 from __future__ import annotations
 
+import os
 import pathlib
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -179,8 +180,16 @@ def save_params(file: pathlib.Path, params: Params) -> None:
                 "gather to one host and cannot hold it; set "
                 "AUTOGNOTHI_CKPT_BACKEND=orbax")
         arrays[k] = np.asarray(v)
-    with open(file, "wb") as f:
-        np.savez(f, **arrays)
+    # atomic: a kill mid-write (preemption) must never leave a truncated
+    # .ckpt that the resume scan (load_epoch_ckpt) would try to load —
+    # os.replace makes the file appear fully written or not at all
+    tmp = file.with_name(file.name + ".tmp")
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, file)
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def _is_torch_archive(file: pathlib.Path) -> bool:

@@ -1,0 +1,194 @@
+"""Preemption-safe training (pipeline/training.py graceful shutdown +
+pipeline/resources.py atomic checkpoint writes).
+
+TPU fleets preempt with SIGTERM.  Contract under test: the first SIGTERM
+stops training at the next batch boundary (TrainingInterrupted out of
+LossDrain.push), every *completed* epoch is durable on disk, checkpoint
+files can never be half-written (tmp + os.replace), the CLI converts the
+interrupt to exit code 75 (EX_TEMPFAIL — "requeue me"), and rerunning the
+same command resumes from the newest checkpoint to completion.
+
+Extension beyond the reference (it has no signal handling anywhere);
+the checkpoint naming/resume semantics it builds on are reference-parity
+(/root/reference/scripts/resources.py:150-217).
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from tests.test_train_all_e2e import MINI_VIT_HPARAMS
+
+
+@pytest.fixture(autouse=True)
+def _reset_shutdown_state():
+    from autognothi_tpu.pipeline import training
+
+    saved = dict(training._SHUTDOWN)
+    prev = signal.getsignal(signal.SIGTERM)
+    training._SHUTDOWN.update(requested=False, installed=False)
+    yield
+    training._SHUTDOWN.update(saved)
+    signal.signal(signal.SIGTERM, prev)
+
+
+def test_sigterm_sets_flag_and_push_raises():
+    from autognothi_tpu.pipeline.training import (
+        LossDrain, TrainingInterrupted, install_graceful_shutdown,
+        shutdown_requested,
+    )
+
+    assert install_graceful_shutdown() is True
+    assert install_graceful_shutdown() is True  # idempotent
+    assert not shutdown_requested()
+    drain = LossDrain(lambda i, vals, host: None)
+    drain.push((np.float32(1.0),))  # flows normally before the signal
+
+    signal.raise_signal(signal.SIGTERM)
+    assert shutdown_requested()
+    with pytest.raises(TrainingInterrupted, match="batch boundary"):
+        drain.push((np.float32(2.0),))
+
+
+def test_second_sigterm_restores_previous_disposition():
+    from autognothi_tpu.pipeline.training import install_graceful_shutdown
+
+    hits = []
+    signal.signal(signal.SIGTERM, lambda s, f: hits.append(s))
+    install_graceful_shutdown()
+    signal.raise_signal(signal.SIGTERM)  # graceful: flag only
+    assert hits == []
+    signal.raise_signal(signal.SIGTERM)  # escalation: previous handler
+    assert hits == [signal.SIGTERM]
+
+
+def test_atomic_ckpt_write_never_leaves_partial_file(tmp_path, monkeypatch):
+    import autognothi_tpu.pipeline.resources as res
+
+    good = {"w": np.ones((4, 4), np.float32)}
+    res.save_params(tmp_path / "ok.ckpt", good)
+    assert (tmp_path / "ok.ckpt").exists()
+    assert not list(tmp_path.glob("*.tmp"))
+    loaded = res.load_params_file(tmp_path / "ok.ckpt")
+    np.testing.assert_array_equal(loaded["w"], good["w"])
+
+    # a crash mid-write (what SIGKILL during np.savez amounts to) must not
+    # produce the target file at all — the resume scan would load garbage
+    def boom(f, **arrays):
+        f.write(b"PK\x03\x04 partial zip header then death")
+        raise RuntimeError("killed mid-write")
+
+    monkeypatch.setattr(np, "savez", boom)
+    with pytest.raises(RuntimeError, match="mid-write"):
+        res.save_params(tmp_path / "dead.ckpt", good)
+    assert not (tmp_path / "dead.ckpt").exists()
+    assert not list(tmp_path.glob("*.tmp"))
+
+
+def _mini_exp(tmp_path, surrogate_epochs=6):
+    exp = tmp_path / "vit_mini"
+    exp.mkdir()
+    hp = json.loads(json.dumps(MINI_VIT_HPARAMS))
+    hp["train_surrogate"]["epochs"] = surrogate_epochs
+    (exp / ".hparams.json").write_text(json.dumps(hp, indent=2))
+    return exp
+
+
+def test_midtrain_interrupt_keeps_completed_epochs_and_resumes(tmp_path,
+                                                               monkeypatch):
+    """Interrupt during epoch 2 of the surrogate: epoch 1 stays durable,
+    the partial epoch leaves no file, and a rerun completes training with
+    the interrupted epoch redone from its derived seed."""
+    from autognothi_tpu.pipeline import train_surrogate as ts
+    from autognothi_tpu.pipeline import training
+    from autognothi_tpu.pipeline.env import ExpEnv
+    from autognothi_tpu.pipeline.resources import get_epoch_ckpts
+    from autognothi_tpu.pipeline.train_all import train_all
+    from autognothi_tpu.pipeline.training import TrainingInterrupted
+
+    exp = _mini_exp(tmp_path, surrogate_epochs=2)
+    env = ExpEnv(exp)
+
+    real_cosine = ts.cosine_lr
+
+    def trip_at_epoch_2(base_lr, epoch, total):
+        if epoch == 2:
+            training._SHUTDOWN["requested"] = True
+        return real_cosine(base_lr, epoch, total)
+
+    monkeypatch.setattr(ts, "cosine_lr", trip_at_epoch_2)
+    with pytest.raises(TrainingInterrupted):
+        train_all(env)
+
+    got = get_epoch_ckpts(env.model_path, "surrogate", 2)
+    assert 1 in got and 2 not in got, got  # completed epoch durable only
+
+    monkeypatch.setattr(ts, "cosine_lr", real_cosine)
+    training._SHUTDOWN["requested"] = False
+    env2 = ExpEnv(exp)
+    train_all(env2)  # resumes: redoes epoch 2, runs conversions to final
+    got = get_epoch_ckpts(env2.model_path, "surrogate", 2)
+    assert 2 in got, got
+    assert (env2.model_path / "final-epoch-0.ckpt").exists()
+
+
+@pytest.mark.slow
+def test_cli_sigterm_exit_code_and_resume(tmp_path):
+    """Full CLI contract: SIGTERM mid-`train_surrogate` exits 75 with the
+    interrupt notice; rerunning the exact same command resumes and exits 0
+    with all epochs checkpointed."""
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    exp = _mini_exp(tmp_path, surrogate_epochs=8)
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+
+    def run(cmd, **kw):
+        # JAX_PLATFORMS=cpu in env pins the backend (the conversion verbs
+        # take no --device flag)
+        return subprocess.run(
+            [sys.executable, "main.py", cmd, str(exp)],
+            cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+            **kw,
+        )
+
+    assert run("conv_pretrained_classifier").returncode == 0
+    assert run("train_classifier").returncode == 0
+    assert run("conv_classifier_surrogate").returncode == 0
+
+    # surrogate run with a watcher: SIGTERM lands once epoch 1 is durable
+    proc = subprocess.Popen(
+        [sys.executable, "main.py", "train_surrogate", str(exp)],
+        cwd=repo, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True,
+    )
+
+    def sigterm_after_epoch_1():
+        deadline = time.time() + 540
+        probe = exp / "surrogate-epoch-1.ckpt"  # model_path == exp dir
+        while time.time() < deadline and proc.poll() is None:
+            if probe.exists():
+                proc.send_signal(signal.SIGTERM)
+                return
+            time.sleep(0.05)
+
+    watcher = threading.Thread(target=sigterm_after_epoch_1, daemon=True)
+    watcher.start()
+    _out, err = proc.communicate(timeout=600)
+    watcher.join(timeout=10)
+    assert proc.returncode == 75, (proc.returncode, err[-2000:])
+    assert "interrupted" in err
+
+    done = run("train_surrogate")
+    assert done.returncode == 0, done.stderr[-2000:]
+    ckpts = sorted(exp.glob("surrogate-epoch-*.ckpt"))
+    assert (exp / "surrogate-epoch-8.ckpt").exists(), ckpts
