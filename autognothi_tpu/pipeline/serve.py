@@ -245,16 +245,35 @@ def serve(env: ExpEnv, host: str, port: int, batch_size: int,
           window_s: float = 0.0,
           u8_dequant: Tuple[float, float] = (1.0 / 255.0, 0.0),
           artifact=None) -> None:
+    import signal
+
     service = ExplainService(env, batch_size, window_s=window_s,
                              u8_dequant=u8_dequant, artifact=artifact)
     env.log("[[[ warming up the compiled explain step... ]]]")
     service.warmup()
     server = make_server(service, host, port)
+
+    def _drain(signum, frame):
+        # shutdown() blocks until serve_forever's poll loop exits — it must
+        # run off the main thread (the handler interrupts that very loop)
+        env.log("[[[ SIGTERM — draining in-flight requests ]]]")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        prev_term = signal.signal(signal.SIGTERM, _drain)
+    except ValueError:  # not the main thread (serve_in_thread path)
+        prev_term = None
     env.log(f"[[[ serving explanations on http://{host}:{port} ]]]")
     try:
         server.serve_forever()
     finally:
+        # ThreadingHTTPServer.block_on_close: waits for in-flight handler
+        # threads BEFORE the batcher they depend on goes away
+        server.server_close()
         service.close()
+        if prev_term is not None:
+            signal.signal(signal.SIGTERM, prev_term)
+    env.log("[[[ serve: drained and closed ]]]")
 
 
 def serve_in_thread(

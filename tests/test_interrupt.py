@@ -192,3 +192,66 @@ def test_cli_sigterm_exit_code_and_resume(tmp_path):
     assert done.returncode == 0, done.stderr[-2000:]
     ckpts = sorted(exp.glob("surrogate-epoch-*.ckpt"))
     assert (exp / "surrogate-epoch-8.ckpt").exists(), ckpts
+
+
+@pytest.mark.slow
+def test_cli_serve_sigterm_drains_and_exits_cleanly(tmp_path):
+    """`serve` under SIGTERM: answers requests, then drains in-flight
+    handlers and exits 0 (instead of resetting connections mid-flight)."""
+    import pathlib
+    import socket
+    import urllib.request
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    exp = tmp_path / "vit_mini"
+    exp.mkdir()
+    (exp / ".hparams.json").write_text(json.dumps(MINI_VIT_HPARAMS, indent=2))
+
+    from autognothi_tpu.pipeline.env import ExpEnv
+    from autognothi_tpu.pipeline.train_all import train_all
+
+    train_all(ExpEnv(exp))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [sys.executable, "main.py", "serve", str(exp), "--port", str(port),
+         "--batch-size", "2"],
+        cwd=repo, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        deadline = time.time() + 540
+        url = f"http://127.0.0.1:{port}/healthz"
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(proc.communicate()[1][-2000:])
+            try:
+                with urllib.request.urlopen(url, timeout=5) as r:
+                    if r.status == 200:
+                        break
+            except OSError:
+                time.sleep(0.2)
+        else:
+            raise AssertionError("server never became healthy")
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/explain",
+            data=json.dumps(
+                {"images": np.zeros((1, 3, 16, 16)).tolist()}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+
+        proc.send_signal(signal.SIGTERM)
+        _out, err = proc.communicate(timeout=120)
+        assert proc.returncode == 0, (proc.returncode, err[-2000:])
+        assert "draining" in _out + err
+    finally:
+        if proc.poll() is None:
+            proc.kill()
