@@ -158,18 +158,33 @@ def _bench_model(model: str) -> None:
           flush=True)
 
 
-def _run_child(model: str) -> dict:
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child", model],
-        capture_output=True, text=True, timeout=1800, env=dict(os.environ),
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
-    if proc.returncode != 0:
-        raise RuntimeError(
-            f"bench child {model!r} failed (rc={proc.returncode}):\n"
-            f"{proc.stderr[-2000:]}"
-        )
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+def _run_child(model: str, attempts: int = 2) -> dict:
+    """One bench child, retried once on failure/timeout: a CPU-starved axon
+    handshake can wedge a client process indefinitely (observed r4 — the
+    child sat in futex_do_wait for 30 min while its siblings ran normally
+    before and after).  A fresh process recovers; without the retry a
+    transient wedge on the HEADLINE child would cost the round its entire
+    bench line."""
+    last: Exception = RuntimeError("unreachable")
+    for _ in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", model],
+                capture_output=True, text=True, timeout=1200,
+                env=dict(os.environ),
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired as exc:
+            last = exc
+            continue
+        if proc.returncode != 0:
+            last = RuntimeError(
+                f"bench child {model!r} failed (rc={proc.returncode}):\n"
+                f"{proc.stderr[-2000:]}"
+            )
+            continue
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    raise last
 
 
 def main() -> None:
