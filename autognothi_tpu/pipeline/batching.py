@@ -36,6 +36,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -89,6 +90,10 @@ class MicroBatcher:
         self.slab_count = 0  # diagnostic: device launches so far
         self.row_count = 0   # real (unpadded) rows dispatched
         self.request_count = 0
+        # end-to-end request latencies (enqueue -> last row delivered),
+        # bounded ring so /statz percentiles reflect recent traffic
+        self._lat_lock = threading.Lock()
+        self._latencies: deque = deque(maxlen=1024)
         # depth > 1: in-flight slabs park here; a completer thread pays the
         # device->host fetch while the dispatcher launches the next slab.
         # maxsize bounds in-flight slabs (backpressure on the dispatcher).
@@ -133,15 +138,31 @@ class MicroBatcher:
         return tuple(np.concatenate(rows) for rows in outs)
 
     def stats(self) -> dict:
-        """Occupancy diagnostics: how well concurrent traffic packs slabs
-        (occupancy 1.0 = zero padded-slot waste)."""
+        """Occupancy + latency diagnostics: how well concurrent traffic
+        packs slabs (occupancy 1.0 = zero padded-slot waste) and the
+        end-to-end request latency distribution (enqueue -> last row
+        delivered, seconds, over the most recent <=1024 requests)."""
         capacity = self.slab_count * self.batch_size
+        with self._lat_lock:
+            lat = np.asarray(self._latencies, dtype=np.float64)
+        latency = None
+        if lat.size:
+            p50, p95, p99 = np.percentile(lat, [50.0, 95.0, 99.0])
+            latency = {
+                "count": int(lat.size),
+                "mean_s": round(float(lat.mean()), 6),
+                "p50_s": round(float(p50), 6),
+                "p95_s": round(float(p95), 6),
+                "p99_s": round(float(p99), 6),
+                "max_s": round(float(lat.max()), 6),
+            }
         return {
             "requests": self.request_count,
             "rows": self.row_count,
             "slabs": self.slab_count,
             "batch_size": self.batch_size,
             "occupancy": (self.row_count / capacity) if capacity else None,
+            "latency": latency,
         }
 
     def close(self) -> None:
@@ -270,7 +291,12 @@ class MicroBatcher:
             req.parts.append(rows)
             req.delivered += n
             if req.delivered == req.xs.shape[0]:
+                self._record_latency(req)
                 req.done.set()
+
+    def _record_latency(self, req: _Request) -> None:
+        with self._lat_lock:
+            self._latencies.append(time.monotonic() - req.t_enq)
 
     def _fail(self, take, exc: BaseException) -> None:
         with self._cv:

@@ -97,6 +97,11 @@ def test_statz_reports_occupancy(served):
     assert stats["slabs"] >= 1 and stats["rows"] >= 1
     assert 0.0 < stats["occupancy"] <= 1.0
     assert stats["rows"] <= stats["slabs"] * stats["batch_size"]
+    # end-to-end request latency distribution (recent requests)
+    lat = stats["latency"]
+    assert lat["count"] >= 1
+    assert 0.0 < lat["p50_s"] <= lat["p95_s"] <= lat["p99_s"] <= lat["max_s"]
+    assert lat["mean_s"] > 0.0
 
 
 def test_explain_images_u8_wire_format(served):
