@@ -162,14 +162,6 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-# commands that run epoch loops: SIGTERM during these stops at a batch
-# boundary with every completed epoch durable (pipeline/training.py)
-_TRAIN_COMMANDS = frozenset({
-    "pretrain_classifier", "train_classifier", "train_surrogate",
-    "train_explainer", "train_all", "run_all",
-})
-
-
 def main(argv: Optional[List[str]] = None) -> None:
     try:
         _main(argv)
@@ -186,10 +178,6 @@ def _main(argv: Optional[List[str]] = None) -> None:
     args = build_parser().parse_args(argv)
     set_iterative_seed(42, "scripts.shell.main")
     _apply_device(getattr(args, "device", ""))
-    if args.command in _TRAIN_COMMANDS:
-        from .pipeline.training import install_graceful_shutdown
-
-        install_graceful_shutdown()
     from .parallel.distributed import distributed_env_configured
 
     if distributed_env_configured():

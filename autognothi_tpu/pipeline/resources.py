@@ -274,7 +274,12 @@ def save_epoch_ckpt(
         return ep == 0 or ep == cfg.epochs or ranged_modulo_test(cfg.ckpt_when)(ep)
 
     file = _ckpt_path(path, section, epoch)
-    _remove_ckpt(file)
+    # pre-clear ONLY an orbax directory occupying the path (a file cannot
+    # atomically replace a dir); for plain files os.replace in save_params
+    # overwrites atomically — unconditionally deleting first would re-open
+    # the kill-between-unlink-and-replace window the atomic write closes
+    if file.is_dir():
+        _remove_ckpt(file)
     save_params(file, params)
 
     if not should_keep(epoch - 1):

@@ -253,7 +253,25 @@ def serve(env: ExpEnv, host: str, port: int, batch_size: int,
     service.warmup()
     server = make_server(service, host, port)
 
+    # make server_close() actually JOIN in-flight handler threads:
+    # ThreadingHTTPServer defaults daemon_threads=True, and socketserver's
+    # _Threads.append SKIPS daemon threads — with the default, block_on_close
+    # joins nothing and process exit kills handlers mid-response-write
+    server.daemon_threads = False
+
+    draining = {"requested": False}
+
     def _drain(signum, frame):
+        if draining["requested"]:
+            # second TERM: a wedged drain (device hang) must stay killable
+            if prev_term is not None:
+                signal.signal(signal.SIGTERM,
+                              prev_term if callable(prev_term) or prev_term
+                              in (signal.SIG_DFL, signal.SIG_IGN)
+                              else signal.SIG_DFL)
+            signal.raise_signal(signal.SIGTERM)
+            return
+        draining["requested"] = True
         # shutdown() blocks until serve_forever's poll loop exits — it must
         # run off the main thread (the handler interrupts that very loop)
         env.log("[[[ SIGTERM — draining in-flight requests ]]]")
@@ -267,8 +285,8 @@ def serve(env: ExpEnv, host: str, port: int, batch_size: int,
     try:
         server.serve_forever()
     finally:
-        # ThreadingHTTPServer.block_on_close: waits for in-flight handler
-        # threads BEFORE the batcher they depend on goes away
+        # join in-flight handler threads (they may still be inside
+        # batcher.submit) BEFORE the batcher they depend on goes away
         server.server_close()
         service.close()
         if prev_term is not None:

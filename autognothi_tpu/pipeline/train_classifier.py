@@ -20,6 +20,7 @@ from .env import ExpEnv
 from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
 from .training import (
     LossDrain,
+    graceful_training,
     maybe_enable_debug_nans,
     cast_input,
     cosine_lr,
@@ -32,6 +33,7 @@ from .training import (
 )
 
 
+@graceful_training
 def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
     env.log("[[[ train classifier ]]]")
     maybe_enable_debug_nans()

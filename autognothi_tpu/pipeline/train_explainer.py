@@ -29,6 +29,7 @@ from .env import ExpEnv
 from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
 from .training import (
     LossDrain,
+    graceful_training,
     cast_input,
     maybe_enable_debug_nans,
     cosine_lr,
@@ -39,6 +40,7 @@ from .training import (
 )
 
 
+@graceful_training
 def train_explainer(env: ExpEnv) -> None:
     env.log("[[[ train explainer ]]]")
     maybe_enable_debug_nans()

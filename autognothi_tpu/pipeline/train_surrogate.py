@@ -20,6 +20,7 @@ from .env import ExpEnv
 from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
 from .training import (
     LossDrain,
+    graceful_training,
     cast_input,
     maybe_enable_debug_nans,
     cosine_lr,
@@ -32,6 +33,7 @@ from .training import (
 )
 
 
+@graceful_training
 def train_surrogate(env: ExpEnv) -> None:
     env.log("[[[ train surrogate ]]]")
     maybe_enable_debug_nans()

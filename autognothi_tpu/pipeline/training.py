@@ -21,6 +21,8 @@ Design decisions (TPU-first re-design of the reference trainers):
 
 from __future__ import annotations
 
+import contextlib
+import functools
 import math
 import os
 import signal
@@ -53,7 +55,7 @@ ADAMW_WEIGHT_DECAY = 1e-2
 # Extension: the reference has no signal handling (verified: no signal/
 # SIGTERM use anywhere in /root/reference).
 
-_SHUTDOWN = {"requested": False, "installed": False}
+_SHUTDOWN = {"requested": False, "depth": 0, "prev": None}
 
 #: exit code for "interrupted cleanly, state durable, requeue me"
 #: (BSD EX_TEMPFAIL — the convention preemption-aware schedulers retry)
@@ -69,32 +71,64 @@ def shutdown_requested() -> bool:
     return _SHUTDOWN["requested"]
 
 
-def install_graceful_shutdown() -> bool:
-    """Route SIGTERM to a graceful stop: the first signal sets a flag the
-    batch loops poll (via LossDrain.push); a second SIGTERM restores the
-    previous disposition and re-raises, so a stuck process stays killable.
-    Idempotent; returns False off the main thread (signal rules) or on
-    platforms without SIGTERM."""
-    if _SHUTDOWN["installed"]:
-        return True
+def _restore_disposition() -> None:
+    prev = _SHUTDOWN["prev"]
+    if not (callable(prev) or prev in (signal.SIG_DFL, signal.SIG_IGN)):
+        prev = signal.SIG_DFL
+    signal.signal(signal.SIGTERM, prev)
+
+
+def _sigterm_handler(signum, frame):
+    if _SHUTDOWN["requested"]:
+        # second TERM: give the signal back to its previous disposition so
+        # a process stuck in a PYTHON loop stays killable.  (A process
+        # wedged in a C-level wait — e.g. the axon futex wedge in
+        # BASELINE r4 — never re-enters the bytecode loop, so no Python
+        # handler can run there; that case always needs SIGKILL,
+        # regardless of what we install.)
+        _restore_disposition()
+        signal.raise_signal(signal.SIGTERM)
+        return
+    _SHUTDOWN["requested"] = True
+
+
+def graceful_training(fn):
+    """Decorator: run a trainer inside graceful_scope() — SIGTERM during
+    the trainer stops at a batch boundary; outside it (conversions,
+    measurements) the signal keeps its normal fatal disposition."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with graceful_scope():
+            return fn(*args, **kwargs)
+    return wrapped
+
+
+@contextlib.contextmanager
+def graceful_scope():
+    """Scope SIGTERM-graceful handling to an epoch loop.  INSIDE the scope
+    the first SIGTERM requests a batch-boundary stop (polled by
+    LossDrain.push -> TrainingInterrupted) and a second one escalates to
+    the previous disposition.  OUTSIDE any scope SIGTERM keeps its normal
+    (usually fatal) disposition — a flag nobody polls must never make the
+    process TERM-immune during conversion/measurement phases.  Re-entrant;
+    no-op off the main thread (signal rules)."""
+    installed = False
     try:
-        prev = signal.getsignal(signal.SIGTERM)
-
-        def _handler(signum, frame):
-            if _SHUTDOWN["requested"]:
-                signal.signal(signal.SIGTERM,
-                              prev if callable(prev) or prev in (
-                                  signal.SIG_DFL, signal.SIG_IGN)
-                              else signal.SIG_DFL)
-                signal.raise_signal(signal.SIGTERM)
-                return
-            _SHUTDOWN["requested"] = True
-
-        signal.signal(signal.SIGTERM, _handler)
-        _SHUTDOWN["installed"] = True
-        return True
+        if _SHUTDOWN["depth"] == 0:
+            _SHUTDOWN["prev"] = signal.getsignal(signal.SIGTERM)
+            signal.signal(signal.SIGTERM, _sigterm_handler)
+        _SHUTDOWN["depth"] += 1
+        installed = True
     except (ValueError, AttributeError, OSError):
-        return False
+        pass  # non-main thread / exotic platform: run without the net
+    try:
+        yield
+    finally:
+        if installed:
+            _SHUTDOWN["depth"] -= 1
+            if _SHUTDOWN["depth"] == 0 and signal.getsignal(
+                    signal.SIGTERM) is _sigterm_handler:
+                _restore_disposition()
 
 
 def compute_dtype():

@@ -170,7 +170,7 @@ def _run_child(model: str, attempts: int = 2) -> dict:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child", model],
-                capture_output=True, text=True, timeout=1200,
+                capture_output=True, text=True, timeout=1800,
                 env=dict(os.environ),
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
@@ -183,7 +183,15 @@ def _run_child(model: str, attempts: int = 2) -> dict:
                 f"{proc.stderr[-2000:]}"
             )
             continue
-        return json.loads(proc.stdout.strip().splitlines()[-1])
+        try:
+            # rc 0 with empty/garbled stdout is the same transient-failure
+            # class the retry exists for — don't let it escape the loop
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+        except (IndexError, ValueError) as exc:
+            last = RuntimeError(
+                f"bench child {model!r} rc=0 but unparseable stdout "
+                f"({exc!r}): {proc.stdout[-500:]!r}")
+            continue
     raise last
 
 

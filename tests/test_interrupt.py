@@ -33,40 +33,55 @@ def _reset_shutdown_state():
 
     saved = dict(training._SHUTDOWN)
     prev = signal.getsignal(signal.SIGTERM)
-    training._SHUTDOWN.update(requested=False, installed=False)
+    training._SHUTDOWN.update(requested=False, depth=0, prev=None)
     yield
     training._SHUTDOWN.update(saved)
     signal.signal(signal.SIGTERM, prev)
 
 
-def test_sigterm_sets_flag_and_push_raises():
+def test_sigterm_in_scope_sets_flag_and_push_raises():
     from autognothi_tpu.pipeline.training import (
-        LossDrain, TrainingInterrupted, install_graceful_shutdown,
-        shutdown_requested,
+        LossDrain, TrainingInterrupted, graceful_scope, shutdown_requested,
     )
 
-    assert install_graceful_shutdown() is True
-    assert install_graceful_shutdown() is True  # idempotent
-    assert not shutdown_requested()
-    drain = LossDrain(lambda i, vals, host: None)
-    drain.push((np.float32(1.0),))  # flows normally before the signal
+    with graceful_scope():
+        with graceful_scope():  # re-entrant (pretrain -> train_classifier)
+            assert not shutdown_requested()
+            drain = LossDrain(lambda i, vals, host: None)
+            drain.push((np.float32(1.0),))  # flows normally pre-signal
 
-    signal.raise_signal(signal.SIGTERM)
-    assert shutdown_requested()
-    with pytest.raises(TrainingInterrupted, match="batch boundary"):
-        drain.push((np.float32(2.0),))
+            signal.raise_signal(signal.SIGTERM)
+            assert shutdown_requested()
+            with pytest.raises(TrainingInterrupted, match="batch boundary"):
+                drain.push((np.float32(2.0),))
 
 
-def test_second_sigterm_restores_previous_disposition():
-    from autognothi_tpu.pipeline.training import install_graceful_shutdown
+def test_scope_exit_restores_disposition():
+    """OUTSIDE a scope SIGTERM must keep its previous (normally fatal)
+    disposition — conversion/measurement phases must never become
+    TERM-immune (a flag nobody polls)."""
+    from autognothi_tpu.pipeline import training
+    from autognothi_tpu.pipeline.training import graceful_scope
 
     hits = []
     signal.signal(signal.SIGTERM, lambda s, f: hits.append(s))
-    install_graceful_shutdown()
-    signal.raise_signal(signal.SIGTERM)  # graceful: flag only
-    assert hits == []
-    signal.raise_signal(signal.SIGTERM)  # escalation: previous handler
-    assert hits == [signal.SIGTERM]
+    with graceful_scope():
+        assert signal.getsignal(signal.SIGTERM) is training._sigterm_handler
+    assert signal.getsignal(signal.SIGTERM) is not training._sigterm_handler
+    signal.raise_signal(signal.SIGTERM)
+    assert hits == [signal.SIGTERM]  # previous handler back in force
+
+
+def test_second_sigterm_escalates_to_previous_disposition():
+    from autognothi_tpu.pipeline.training import graceful_scope
+
+    hits = []
+    signal.signal(signal.SIGTERM, lambda s, f: hits.append(s))
+    with graceful_scope():
+        signal.raise_signal(signal.SIGTERM)  # graceful: flag only
+        assert hits == []
+        signal.raise_signal(signal.SIGTERM)  # escalation: previous handler
+        assert hits == [signal.SIGTERM]
 
 
 def test_atomic_ckpt_write_never_leaves_partial_file(tmp_path, monkeypatch):
