@@ -133,6 +133,21 @@ def _ckpt_path(path: pathlib.Path, section: str, epoch: int) -> pathlib.Path:
     return path / f"{section}-epoch-{epoch}.ckpt"
 
 
+def _opt_path(path: pathlib.Path, section: str, epoch: int) -> pathlib.Path:
+    # sibling of the param file; latest_epoch's exact-name probe never
+    # matches it, so opt files are invisible to stage/resume detection
+    return path / f"{section}-epoch-{epoch}.opt.ckpt"
+
+
+def opt_ckpt_enabled() -> bool:
+    """AUTOGNOTHI_CKPT_OPT=1 — checkpoint optimizer state alongside params
+    so a preempted-and-resumed run is BIT-IDENTICAL to an uninterrupted one
+    (epoch seeds and lr schedules are already derived/stateless; Adam
+    moments are the only training state the reference rebuilds from zero on
+    resume, scripts parity — SURVEY §2.5 — hence opt-in)."""
+    return os.environ.get("AUTOGNOTHI_CKPT_OPT", "0") == "1"
+
+
 def _orbax_backend() -> bool:
     """`AUTOGNOTHI_CKPT_BACKEND=orbax` switches checkpoint payloads from npz
     files to Orbax directories (sharded-array capable, multi-host ready).
@@ -267,8 +282,11 @@ def save_epoch_ckpt(
     cfg: Config_Train,
     epoch: int,
     params: Params,
+    opt_state: Any = None,
 ) -> bool:
-    """Save; then delete the previous epoch's file unless retention keeps it."""
+    """Save; then delete the previous epoch's file unless retention keeps it.
+    With AUTOGNOTHI_CKPT_OPT=1 and an `opt_state`, the optimizer state is
+    checkpointed alongside (exact resume — see opt_ckpt_enabled)."""
 
     def should_keep(ep: int) -> bool:
         return ep == 0 or ep == cfg.epochs or ranged_modulo_test(cfg.ckpt_when)(ep)
@@ -281,10 +299,65 @@ def save_epoch_ckpt(
     if file.is_dir():
         _remove_ckpt(file)
     save_params(file, params)
+    if opt_state is not None and opt_ckpt_enabled():
+        save_opt_state(path, section, epoch, opt_state)
 
     if not should_keep(epoch - 1):
         _remove_ckpt(_ckpt_path(path, section, epoch - 1))
+    # the previous opt file goes regardless of retention: exact resume only
+    # ever continues from the NEWEST epoch; param files kept by cadence are
+    # for analysis/migration, not resume points
+    _remove_ckpt(_opt_path(path, section, epoch - 1))
     return True
+
+
+def save_opt_state(path: pathlib.Path, section: str, epoch: int,
+                   opt_state: Any) -> None:
+    """Persist an optax state pytree as an indexed-leaf checkpoint (same
+    atomic writer/backends as params)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    save_params(_opt_path(path, section, epoch),
+                {f"leaf_{i:05d}": leaf for i, leaf in enumerate(leaves)})
+
+
+def maybe_restore_opt_state(path: pathlib.Path, section: str, epoch: int,
+                            template: Any) -> Any:
+    """Exact-resume: reload the optimizer state saved at `epoch`, mapped
+    onto `template`'s structure and shardings (the freshly built optax
+    state).  Returns `template` untouched when the knob is off, at epoch 0,
+    or when no opt file exists (reference-parity rebuild-from-zero)."""
+    import jax
+
+    file = _opt_path(path, section, epoch)
+    if not opt_ckpt_enabled() or epoch <= 0 or not (
+            file.exists() or file.is_dir()):
+        return template
+    arrays = load_params_file(file)
+    loaded = [arrays[k] for k in sorted(arrays)]
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    if len(loaded) != len(t_leaves):
+        raise ValueError(
+            f"optimizer checkpoint {file.name} has {len(loaded)} leaves, "
+            f"the rebuilt optimizer expects {len(t_leaves)} — config or "
+            "freeze-mask changed since it was written; delete it to resume "
+            "with fresh moments")
+    placed = []
+    for got, want in zip(loaded, t_leaves):
+        if np.shape(got) != np.shape(want):
+            raise ValueError(
+                f"optimizer checkpoint {file.name} leaf shape {np.shape(got)}"
+                f" != expected {np.shape(want)}")
+        sharding = getattr(want, "sharding", None)
+        arr = jnp.asarray(got, dtype=getattr(want, "dtype", None))
+        # re-commit only multi-device layouts (mesh runs); a fresh optax
+        # state's scalars (count) are single-device UNCOMMITTED — pinning
+        # them would make jit reject the mixed-device argument list
+        if sharding is not None and len(sharding.device_set) > 1:
+            arr = jax.device_put(arr, sharding)
+        placed.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, placed)
 
 
 def load_epoch_model(

@@ -17,7 +17,8 @@ import numpy as np
 from ..ops.shapley import mask_purely_uniform  # noqa: F401  (parity import)
 from ..utils.seeding import iterative_key, set_iterative_seed
 from .env import ExpEnv
-from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
+from .resources import (get_recipe, load_cfg_dataset, load_epoch_model,
+                        maybe_restore_opt_state, save_epoch_ckpt)
 from .training import (
     LossDrain,
     graceful_training,
@@ -65,6 +66,10 @@ def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
         else recipe.trainable(m_config, "classifier")
     )
     tx, opt_state = make_optimizer(params, trainable)
+    # exact resume (AUTOGNOTHI_CKPT_OPT=1): reload Adam moments saved at
+    # the resume epoch; no-op otherwise (reference rebuilds from zero)
+    opt_state = maybe_restore_opt_state(
+        env.model_path, "classifier", epoch_start, opt_state)
 
     # LTT recipes take a *traced* ladder-depth knob (progressive training
     # truncates the side ladder in the forward, ltt_bert.py:463-497)
@@ -170,5 +175,6 @@ def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
             f"test_loss: cls {test_loss:.6f} // test_acc: {test_acc:.3f}"
         )
         if save_epoch_ckpt(env.model_path, "classifier",
-                           config.train_classifier, epoch, params):
+                           config.train_classifier, epoch, params,
+                           opt_state=opt_state):
             env.flush_cfg()

@@ -26,7 +26,8 @@ from ..parallel.train_step import (
 )
 from ..utils.seeding import iterative_key, set_iterative_seed
 from .env import ExpEnv
-from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
+from .resources import (get_recipe, load_cfg_dataset, load_epoch_model,
+                        maybe_restore_opt_state, save_epoch_ckpt)
 from .training import (
     LossDrain,
     graceful_training,
@@ -80,6 +81,10 @@ def train_explainer(env: ExpEnv) -> None:
         srg_params = place_params(srg_params)
 
     tx, opt_state = make_optimizer(params, recipe.trainable(m_config, "explainer"))
+    # exact resume (AUTOGNOTHI_CKPT_OPT=1): reload Adam moments saved at
+    # the resume epoch; no-op otherwise (reference rebuilds from zero)
+    opt_state = maybe_restore_opt_state(
+        env.model_path, "explainer", epoch_start, opt_state)
 
     # surrogate_null: surrogate on the all-on null input, computed once
     nil_xs = jnp.asarray(recipe.gen_null(m_config, m_misc))
@@ -177,5 +182,6 @@ def train_explainer(env: ExpEnv) -> None:
             f"test_loss: shap {test_loss:.6f}"
         )
         if save_epoch_ckpt(env.model_path, "explainer",
-                           config.train_explainer, epoch, params):
+                           config.train_explainer, epoch, params,
+                           opt_state=opt_state):
             env.flush_cfg()

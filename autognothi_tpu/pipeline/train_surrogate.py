@@ -17,7 +17,8 @@ import numpy as np
 from ..ops.shapley import loss_logits_kl_divergence, mask_purely_uniform
 from ..utils.seeding import iterative_key, set_iterative_seed
 from .env import ExpEnv
-from .resources import get_recipe, load_cfg_dataset, load_epoch_model, save_epoch_ckpt
+from .resources import (get_recipe, load_cfg_dataset, load_epoch_model,
+                        maybe_restore_opt_state, save_epoch_ckpt)
 from .training import (
     LossDrain,
     graceful_training,
@@ -63,6 +64,10 @@ def train_surrogate(env: ExpEnv) -> None:
         cls_params = place_params(cls_params)
 
     tx, opt_state = make_optimizer(params, recipe.trainable(m_config, "surrogate"))
+    # exact resume (AUTOGNOTHI_CKPT_OPT=1): reload Adam moments saved at
+    # the resume epoch; no-op otherwise (reference rebuilds from zero)
+    opt_state = maybe_restore_opt_state(
+        env.model_path, "surrogate", epoch_start, opt_state)
 
     is_ltt = recipe.progressive_trainable is not None
     full_depth = getattr(m_config, "num_hidden_layers", 0)
@@ -188,5 +193,6 @@ def train_surrogate(env: ExpEnv) -> None:
             f"test_acc: {test_acc:.3f}"
         )
         if save_epoch_ckpt(env.model_path, "surrogate",
-                           config.train_surrogate, epoch, params):
+                           config.train_surrogate, epoch, params,
+                           opt_state=opt_state):
             env.flush_cfg()

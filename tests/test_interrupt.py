@@ -154,6 +154,51 @@ def test_midtrain_interrupt_keeps_completed_epochs_and_resumes(tmp_path,
     assert (env2.model_path / "final-epoch-0.ckpt").exists()
 
 
+def test_exact_resume_is_bit_identical(tmp_path, monkeypatch):
+    """AUTOGNOTHI_CKPT_OPT=1: interrupt mid-epoch-3, resume, and the final
+    surrogate params are BIT-IDENTICAL to an uninterrupted run — Adam
+    moments reload from the .opt.ckpt instead of rebuilding from zero
+    (epoch seeds/lr are already derived, so moments were the only
+    divergence source)."""
+    from autognothi_tpu.pipeline import train_surrogate as ts
+    from autognothi_tpu.pipeline import training
+    from autognothi_tpu.pipeline.env import ExpEnv
+    from autognothi_tpu.pipeline.resources import load_params_file
+    from autognothi_tpu.pipeline.train_all import train_all
+    from autognothi_tpu.pipeline.training import TrainingInterrupted
+
+    monkeypatch.setenv("AUTOGNOTHI_CKPT_OPT", "1")
+    epochs = 3
+
+    (tmp_path / "a").mkdir()
+    exp_a = _mini_exp(tmp_path / "a", surrogate_epochs=epochs)
+    train_all(ExpEnv(exp_a))  # uninterrupted
+
+    (tmp_path / "b").mkdir()
+    exp_b = _mini_exp(tmp_path / "b", surrogate_epochs=epochs)
+    real_cosine = ts.cosine_lr
+
+    def trip_at_final_epoch(base_lr, epoch, total):
+        if epoch == epochs:
+            training._SHUTDOWN["requested"] = True
+        return real_cosine(base_lr, epoch, total)
+
+    monkeypatch.setattr(ts, "cosine_lr", trip_at_final_epoch)
+    with pytest.raises(TrainingInterrupted):
+        train_all(ExpEnv(exp_b))
+    assert (exp_b / f"surrogate-epoch-{epochs - 1}.opt.ckpt").exists()
+
+    monkeypatch.setattr(ts, "cosine_lr", real_cosine)
+    training._SHUTDOWN["requested"] = False
+    train_all(ExpEnv(exp_b))  # resume: redo the final epoch exactly
+
+    a = load_params_file(exp_a / f"surrogate-epoch-{epochs}.ckpt")
+    b = load_params_file(exp_b / f"surrogate-epoch-{epochs}.ckpt")
+    assert sorted(a) == sorted(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 @pytest.mark.slow
 def test_cli_sigterm_exit_code_and_resume(tmp_path):
     """Full CLI contract: SIGTERM mid-`train_surrogate` exits 75 with the
