@@ -154,6 +154,47 @@ def test_midtrain_interrupt_keeps_completed_epochs_and_resumes(tmp_path,
     assert (env2.model_path / "final-epoch-0.ckpt").exists()
 
 
+@pytest.mark.parametrize("backend", ["npz", "orbax"])
+def test_opt_state_round_trip_both_backends(tmp_path, monkeypatch, backend):
+    """save_opt_state/maybe_restore_opt_state preserve an optax pytree
+    bit-exactly through BOTH checkpoint backends, and fail closed when the
+    rebuilt optimizer's structure no longer matches."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    pytest.importorskip("orbax.checkpoint") if backend == "orbax" else None
+    from autognothi_tpu.pipeline.resources import (
+        maybe_restore_opt_state, save_opt_state,
+    )
+
+    monkeypatch.setenv("AUTOGNOTHI_CKPT_OPT", "1")
+    monkeypatch.setenv("AUTOGNOTHI_CKPT_BACKEND", backend)
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((3,))}
+    tx = optax.adamw(1e-3)
+    state = tx.init(params)
+    # make moments non-trivial
+    grads = jax.tree.map(jnp.ones_like, params)
+    _, state = tx.update(grads, state, params)
+
+    save_opt_state(tmp_path, "surrogate", 2, state)
+    template = tx.init(params)
+    restored = maybe_restore_opt_state(tmp_path, "surrogate", 2, template)
+    for got, want in zip(jax.tree_util.tree_leaves(restored),
+                         jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # structure drift fails closed with an actionable message
+    bigger = tx.init({**params, "extra": jnp.zeros((4,))})
+    with pytest.raises(ValueError, match="leaves"):
+        maybe_restore_opt_state(tmp_path, "surrogate", 2, bigger)
+
+    # knob off -> template returned untouched (reference-parity rebuild)
+    monkeypatch.setenv("AUTOGNOTHI_CKPT_OPT", "0")
+    assert maybe_restore_opt_state(tmp_path, "surrogate", 2,
+                                   template) is template
+
+
 def test_exact_resume_is_bit_identical(tmp_path, monkeypatch):
     """AUTOGNOTHI_CKPT_OPT=1: interrupt mid-epoch-3, resume, and the final
     surrogate params are BIT-IDENTICAL to an uninterrupted run — Adam
