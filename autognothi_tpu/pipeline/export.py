@@ -39,7 +39,12 @@ Design notes:
   replicate them behind all-gathers, tests/test_pallas_gspmd.py).  An
   AbstractMesh needs no devices at export time: a single-chip process can
   export a pod artifact; at load time `load_exported` binds it to the
-  first N local devices and fails closed when fewer exist;
+  first N local devices and fails closed when fewer exist.  Artifacts are
+  DP-only BY DESIGN: every shipped final (ViT-B/BERT-base class) fits one
+  chip with room to spare, so pure replication is the collective-free,
+  highest-throughput serving layout; tensor-parallel serving exists on
+  the LIVE path (parallel/mesh.py Megatron specs) for models that
+  outgrow a chip;
 - the KernelSHAP baseline's final is host-side WLS (`fw_final_host`) and
   cannot be exported — fails closed with a clear error.
 """

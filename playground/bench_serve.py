@@ -147,9 +147,13 @@ def main():
         total_rows = n_clients * rows * per_client
         rate = total_rows / (time.perf_counter() - t0)
         slabs = b.slab_count - base
+        lat = b.stats()["latency"]  # the /statz cell, here measured on HW
         b.close()
         print(f"{label}: {rate:8.1f} expl/s  ({slabs} slabs, "
-              f"link ceiling ~{ceiling:.0f})", flush=True)
+              f"link ceiling ~{ceiling:.0f})  "
+              f"latency p50 {lat['p50_s'] * 1e3:.1f} / p95 "
+              f"{lat['p95_s'] * 1e3:.1f} / p99 {lat['p99_s'] * 1e3:.1f} ms",
+              flush=True)
 
     print(f"A is the chip ceiling ({rate_a:.0f}); B-D are link-bound on "
           f"this tunnel — on a PCIe-attached host they track A.", flush=True)
