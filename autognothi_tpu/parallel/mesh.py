@@ -35,6 +35,11 @@ def make_mesh(
     n = n_devices or len(devices)
     if n % model_parallel != 0:
         raise ValueError(f"{n} devices not divisible by model={model_parallel}")
+    if n > len(devices):
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devices)} device(s) "
+            "are visible — shrink the mesh or raise "
+            "xla_force_host_platform_device_count")
     grid = np.asarray(devices[:n]).reshape(n // model_parallel, model_parallel)
     return Mesh(grid, ("data", "model"))
 

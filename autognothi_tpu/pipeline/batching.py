@@ -87,7 +87,7 @@ class MicroBatcher:
         self._cv = threading.Condition()
         self._queue: List[_Request] = []
         self._closed = False
-        self.slab_count = 0  # diagnostic: device launches so far
+        self.slab_count = 0  # diagnostic: slabs collected (incl. failed)
         self.row_count = 0   # real (unpadded) rows dispatched
         self.request_count = 0
         # end-to-end request latencies (enqueue -> last row delivered),
@@ -245,6 +245,9 @@ class MicroBatcher:
                     # lock was released in wait() — never index an empty one
                     continue
                 take, chunks, room = self._collect()
+                # counted at collect time, like row_count: a failed slab
+                # must not leave rows>capacity (occupancy > 1.0) in /statz
+                self.slab_count += 1
             try:
                 if len(chunks) == 1 and not room:
                     slab = chunks[0]  # zero-copy: one request fills the slab
@@ -258,7 +261,6 @@ class MicroBatcher:
                 continue
             try:
                 outs = self._run_slab(slab)  # possibly lazy device arrays
-                self.slab_count += 1
             except BaseException as exc:  # propagate to every waiter
                 self._fail(take, exc)
                 continue
@@ -282,17 +284,25 @@ class MicroBatcher:
         except BaseException as exc:  # device errors often surface at fetch
             self._fail(take, exc)
             return
-        used = 0
-        for req, _, n in take:
-            rows = tuple(o[used:used + n] for o in outs_np)
-            used += n
-            if req.error is not None:  # an earlier slab failed this request
-                continue
-            req.parts.append(rows)
-            req.delivered += n
-            if req.delivered == req.xs.shape[0]:
-                self._record_latency(req)
-                req.done.set()
+        try:
+            used = 0
+            for req, _, n in take:
+                rows = tuple(o[used:used + n] for o in outs_np)
+                used += n
+                if req.error is not None:  # an earlier slab failed this one
+                    continue
+                req.parts.append(rows)
+                req.delivered += n
+                if req.delivered == req.xs.shape[0]:
+                    self._record_latency(req)
+                    req.done.set()
+        except BaseException as exc:
+            # distribution bookkeeping failed (e.g. a run_slab output that
+            # violates the per-output <batch, ...> contract): fail the take
+            # instead of silently killing this thread — with depth>1 a dead
+            # completer eventually blocks the dispatcher on _inflight.put
+            # and every later submit() hangs
+            self._fail(take, exc)
 
     def _record_latency(self, req: _Request) -> None:
         with self._lat_lock:

@@ -52,6 +52,7 @@ Design notes:
 from __future__ import annotations
 
 import io
+import os
 import pathlib
 import struct
 from typing import Callable, Sequence, Tuple
@@ -179,8 +180,6 @@ def export_final(env: ExpEnv, into: pathlib.Path, batch_size: int = 8,
             raise SystemExit(
                 "--kernels embeds Mosaic custom calls — the artifact only "
                 "lowers for tpu (pass --platforms tpu)")
-        import os
-
         modes = ("2", "int8" if os.environ.get("AUTOGNOTHI_INT8") == "1"
                  else "none")
     else:
@@ -198,7 +197,14 @@ def export_final(env: ExpEnv, into: pathlib.Path, batch_size: int = 8,
         data_parallel=data_parallel)
     blob = _pack(exported.serialize(), final_params)
     into = pathlib.Path(into)
-    into.write_bytes(blob)
+    # atomic: a kill mid-write (preemption) must never leave a truncated
+    # artifact — or corrupt a previously good one — at the target path
+    tmp = into.with_name(into.name + ".tmp")
+    try:
+        tmp.write_bytes(blob)
+        os.replace(tmp, into)
+    finally:
+        tmp.unlink(missing_ok=True)
     meta = {
         "path": str(into),
         "bytes": len(blob),

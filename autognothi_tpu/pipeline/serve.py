@@ -41,6 +41,12 @@ class ExplainService:
         self.recipe, self.m_config = get_recipe(env.config)
         self.misc = self.recipe.load_misc(env.model_path, self.m_config)
         self.gen_input = self.recipe.gen_input(self.m_config, self.misc)
+        # the model's per-row input shape: image payloads are validated
+        # against it BEFORE they reach the dispatcher — a novel row shape
+        # would otherwise retrace/recompile inside the single device thread
+        # (a multi-minute stall on the tunnel) instead of returning a 400
+        self._row_shape = tuple(np.asarray(
+            self.recipe.gen_null(self.m_config, self.misc)).shape[1:])
 
         if artifact is not None:
             # serve an `export_final` artifact: the program + weights are the
@@ -55,6 +61,18 @@ class ExplainService:
             from .export import load_exported
 
             call = load_exported(artifact)
+            null = np.asarray(self.recipe.gen_null(self.m_config, self.misc))
+            if tuple(call.in_shape[1:]) != self._row_shape or (
+                    np.dtype(call.in_dtype) != null.dtype):
+                # fail closed at startup: a mismatched artifact would serve
+                # /healthz 200 while every /explain dies with an opaque
+                # aval error inside the dispatcher
+                raise RuntimeError(
+                    f"artifact {artifact} expects rows "
+                    f"{tuple(call.in_shape[1:])} {call.in_dtype}, but this "
+                    f"experiment's model takes {null.shape[1:]} "
+                    f"{null.dtype} — it was exported from a different "
+                    "experiment/config")
             if call.in_shape[0] is not None:
                 batch_size = call.in_shape[0]
             env.log(f"[[[ serving artifact {artifact}: input "
@@ -90,9 +108,12 @@ class ExplainService:
         fw_u8 = lambda p, xs: fw(  # noqa: E731
             p, xs.astype(jnp.float32) * scale + offset)
         if self.recipe.fw_final_host:
-            # host-side final (KernelSHAP): no jit, no mesh placement
+            # host-side final (KernelSHAP): no jit, no mesh placement —
+            # including the batch placer (device_putting a slab across the
+            # mesh only for host-side WLS to pull it straight back)
             self._fw, self._fw_u8 = fw, fw_u8
             mesh = None
+            place_batch = lambda tree: tree  # noqa: E731
         elif mesh is not None:
             n = mesh.devices.size
             batch_size = ((batch_size + n - 1) // n) * n
@@ -187,6 +208,11 @@ class ExplainService:
             raise ValueError("payload needs 'texts', 'images' or 'images_u8'")
         if xs.shape[0] == 0:
             return {"logits": [], "attributions": []}
+        if "texts" not in payload and tuple(xs.shape[1:]) != self._row_shape:
+            raise ValueError(
+                f"image rows must be shaped {self._row_shape} "
+                f"(<C, H, W> for this model); got rows {tuple(xs.shape[1:])} "
+                f"from payload shape {tuple(xs.shape)}")
 
         # the batcher slabs/pads to the compiled batch size and coalesces
         # rows across concurrent requests; oversized requests span slabs
@@ -263,12 +289,13 @@ def serve(env: ExpEnv, host: str, port: int, batch_size: int,
 
     def _drain(signum, frame):
         if draining["requested"]:
-            # second TERM: a wedged drain (device hang) must stay killable
-            if prev_term is not None:
-                signal.signal(signal.SIGTERM,
-                              prev_term if callable(prev_term) or prev_term
-                              in (signal.SIG_DFL, signal.SIG_IGN)
-                              else signal.SIG_DFL)
+            # second TERM: a wedged drain (device hang) must stay killable.
+            # prev None (handler installed at C level) falls back to
+            # SIG_DFL — re-raising into THIS handler would loop forever
+            restored = (prev_term if callable(prev_term) or prev_term
+                        in (signal.SIG_DFL, signal.SIG_IGN)
+                        else signal.SIG_DFL)
+            signal.signal(signal.SIGTERM, restored)
             signal.raise_signal(signal.SIGTERM)
             return
         draining["requested"] = True

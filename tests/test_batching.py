@@ -121,6 +121,48 @@ def test_error_propagates_to_submitter_and_batcher_survives():
     b.close()
 
 
+def test_contract_violating_outputs_fail_the_take_not_the_thread():
+    """A run_slab whose outputs violate the per-output <batch, ...>
+    contract (scalar here) must surface as the submitter's error and leave
+    the batcher alive — at depth>1 a dead completer would eventually block
+    the dispatcher on the in-flight queue and hang every later submit()."""
+    state = {"bad": True}
+
+    def contract_breaker(xs):
+        if state["bad"]:
+            return (np.float32(1.0),)  # 0-d: o[used:used+n] raises
+        return _echo_slab(xs)
+
+    b = MicroBatcher(contract_breaker, batch_size=2, window_s=0.0, depth=2)
+    with pytest.raises(RuntimeError):
+        b.submit(np.ones((2, 2)))
+    state["bad"] = False
+    sums, _dbl = b.submit(np.ones((2, 2)))  # completer thread still alive
+    np.testing.assert_allclose(sums, [2.0, 2.0])
+    b.close()
+
+
+def test_occupancy_stays_valid_when_a_slab_fails():
+    """Failed slabs count toward capacity like their rows do — otherwise
+    /statz occupancy exceeds 1.0 after any device error."""
+    state = {"fail": True}
+
+    def flaky(xs):
+        if state["fail"]:
+            raise RuntimeError("boom")
+        return _echo_slab(xs)
+
+    b = make(batch=4, window=0.0, run=flaky)
+    with pytest.raises(RuntimeError):
+        b.submit(np.ones((4, 2)))
+    state["fail"] = False
+    b.submit(np.ones((4, 2)))
+    stats = b.stats()
+    assert stats["slabs"] == 2 and stats["rows"] == 8
+    assert stats["occupancy"] <= 1.0
+    b.close()
+
+
 def test_window_zero_runs_immediately():
     b = make(batch=64, window=0.0)
     t0 = time.monotonic()

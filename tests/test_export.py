@@ -173,6 +173,27 @@ def test_serve_sharded_artifact_end_to_end(trained_exp, tmp_path):
         service.close()
 
 
+def test_serve_artifact_mismatched_experiment_fails_closed(trained_exp,
+                                                           tmp_path):
+    """Serving an artifact exported from a DIFFERENT experiment must refuse
+    at startup — not report /healthz 200 while every /explain dies with an
+    opaque aval error inside the dispatcher."""
+    from autognothi_tpu.pipeline.env import ExpEnv
+    from autognothi_tpu.pipeline.export import export_final
+    from autognothi_tpu.pipeline.serve import ExplainService
+
+    artifact = tmp_path / "final_16px.jaxexp"
+    export_final(trained_exp, artifact, batch_size=2, platforms=["cpu"])
+
+    other = tmp_path / "vit_24px"
+    other.mkdir()
+    hp = json.loads(json.dumps(MINI_VIT_HPARAMS))
+    hp["net"]["params"]["img_px_size"] = 24  # rows (3,24,24) != (3,16,16)
+    (other / ".hparams.json").write_text(json.dumps(hp))
+    with pytest.raises(RuntimeError, match="different experiment"):
+        ExplainService(ExpEnv(other), artifact=artifact)
+
+
 def test_sharded_artifact_fails_closed_on_fewer_devices(trained_exp,
                                                         tmp_path,
                                                         monkeypatch):

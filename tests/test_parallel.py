@@ -252,3 +252,14 @@ def test_pad_to_multiple():
     np.testing.assert_array_equal(out[:5], a)
     np.testing.assert_array_equal(out[5:], np.broadcast_to(a[-1], (3, 2)))
     assert pad_to_multiple(a, 5, axis=0) is a
+
+
+def test_make_mesh_fails_closed_on_too_few_devices():
+    """Requesting more devices than visible must name the real cause, not
+    die in a cryptic numpy reshape."""
+    import pytest
+
+    from autognothi_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="only 8 device"):
+        make_mesh(16, model_parallel=4)

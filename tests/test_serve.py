@@ -84,6 +84,26 @@ def test_explain_empty_batch(served):
     assert body == {"logits": [], "attributions": []}
 
 
+def test_explain_wrong_row_shape_is_400_not_a_recompile(served):
+    """A novel row shape must bounce at the HTTP layer — reaching the
+    dispatcher would retrace/recompile inside the single device thread
+    (a multi-minute stall on the tunnel) instead of returning a 400."""
+    server, _ = served
+    # missing batch dim (<C, H, W> instead of <B, C, H, W>)
+    status, body = _post(server, "/explain",
+                         {"images": np.zeros((3, 16, 16)).tolist()})
+    assert status == 400 and "rows must be shaped" in body["error"]
+    # wrong spatial size
+    status, body = _post(server, "/explain",
+                         {"images": np.zeros((1, 3, 8, 8)).tolist()})
+    assert status == 400 and "(3, 16, 16)" in body["error"]
+    # wrong shape u8 path
+    status, body = _post(
+        server, "/explain",
+        {"images_u8": np.zeros((1, 3, 16, 8), np.uint8).tolist()})
+    assert status == 400 and "rows must be shaped" in body["error"]
+
+
 def test_statz_reports_occupancy(served):
     server, service = served
     host, port = server.server_address
