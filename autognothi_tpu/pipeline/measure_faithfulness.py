@@ -50,6 +50,8 @@ class MeasureFaithfulnessReport(pydantic.BaseModel):
 
 def _auc(curve: Dict[int, float]) -> float:
     vals = np.array(list(curve.values()))
+    if len(vals) < 2:  # single-stop curve (resolution/n_players == 1):
+        return 0.0     # trapezoid over an empty slice would be NaN
     return float(((vals[1:] + vals[:-1]) / 2).mean())
 
 
@@ -60,9 +62,7 @@ def _paint_curve(curves: List[Dict[int, float]]) -> FaithfulnessCurve:
             items.setdefault(stop, []).append(point)
     avg = {stop: float(np.mean(vals)) for stop, vals in items.items()}
     std = {stop: float(np.std(vals)) for stop, vals in items.items()}
-    vals = np.array(list(avg.values()))
-    auc = float(((vals[1:] + vals[:-1]) / 2).mean()) if len(vals) > 1 else 0.0
-    return FaithfulnessCurve(auc=auc, avg=avg, std=std)
+    return FaithfulnessCurve(auc=_auc(avg), avg=avg, std=std)
 
 
 def perturbation_masks(

@@ -153,8 +153,6 @@ def _orbax_backend() -> bool:
     files to Orbax directories (sharded-array capable, multi-host ready).
     Paths and retention semantics are identical; loading auto-detects either
     format, so the two can be mixed within one experiment directory."""
-    import os
-
     return os.environ.get("AUTOGNOTHI_CKPT_BACKEND", "npz") == "orbax"
 
 
@@ -165,6 +163,22 @@ def _remove_ckpt(file: pathlib.Path) -> None:
         shutil.rmtree(file)
     elif file.exists():
         file.unlink()
+
+
+def _remove_ckpt_collective(file: pathlib.Path, tag: str) -> None:
+    """SPMD-safe delete: trainers run collectively, and concurrent rmtree
+    of one orbax directory races to FileNotFoundError — only process 0
+    deletes, everyone else waits at the barrier."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        if jax.process_index() == 0:
+            _remove_ckpt(file)
+        multihost_utils.sync_global_devices(f"agt_rm_{tag}")
+    else:
+        _remove_ckpt(file)
 
 
 def save_params(file: pathlib.Path, params: Params) -> None:
@@ -295,19 +309,19 @@ def save_epoch_ckpt(
     # pre-clear ONLY an orbax directory occupying the path (a file cannot
     # atomically replace a dir); for plain files os.replace in save_params
     # overwrites atomically — unconditionally deleting first would re-open
-    # the kill-between-unlink-and-replace window the atomic write closes
+    # the kill-between-unlink-and-replace window the atomic write closes.
     if file.is_dir():
-        _remove_ckpt(file)
+        _remove_ckpt_collective(file, "preclear")
     save_params(file, params)
     if opt_state is not None and opt_ckpt_enabled():
         save_opt_state(path, section, epoch, opt_state)
 
     if not should_keep(epoch - 1):
-        _remove_ckpt(_ckpt_path(path, section, epoch - 1))
+        _remove_ckpt_collective(_ckpt_path(path, section, epoch - 1), "prev")
     # the previous opt file goes regardless of retention: exact resume only
     # ever continues from the NEWEST epoch; param files kept by cadence are
     # for analysis/migration, not resume points
-    _remove_ckpt(_opt_path(path, section, epoch - 1))
+    _remove_ckpt_collective(_opt_path(path, section, epoch - 1), "prev_opt")
     return True
 
 

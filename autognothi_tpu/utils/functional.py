@@ -68,6 +68,13 @@ def batched(
         if not item_sizes:
             return None
         need = item_sizes[0]
+        if need == 0:
+            # a zero-row workload still yields one (empty) output per item
+            # — np.concatenate([]) would raise; reference yields per-item
+            item_sizes.pop(0)
+            if pending_out:
+                return pending_out[0][:0]
+            return np.empty((0,), dtype=np.float32)
         have = sum(o.shape[0] for o in pending_out) - out_cursor
         if have < need:
             return None
@@ -88,7 +95,8 @@ def batched(
     for raw in inp():
         work = np.asarray(decorator(raw))
         item_sizes.append(work.shape[0])
-        pending_in.append(work)
+        if work.shape[0]:  # empty workloads never enter the slab packer
+            pending_in.append(work)
         while flush_one(exact=True):
             pass
         while (done := pop_item()) is not None:

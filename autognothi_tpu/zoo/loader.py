@@ -80,8 +80,17 @@ def save_local_ft(name: str, params: Dict[str, Any], tokenizer=None) -> pathlib.
     store = _STORE / name
     store.mkdir(parents=True, exist_ok=True)
     arrays = {k: np.asarray(v) for k, v in params.items()}
-    with open(store / "params.npz", "wb") as f:
-        np.savez(f, **arrays)
+    # atomic: a kill mid-write must not leave a truncated params.npz that
+    # _load_local_ft's existence probe would accept (and that shadows any
+    # valid bundled copy) — same tmp+replace pattern as checkpoint saves
+    target = store / "params.npz"
+    tmp = store / "params.npz.tmp"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, target)
+    finally:
+        tmp.unlink(missing_ok=True)
     if tokenizer is not None and hasattr(tokenizer, "save"):
         tokenizer.save(store / "tokenizer")
     elif tokenizer is not None and hasattr(tokenizer, "save_pretrained"):

@@ -38,3 +38,23 @@ def test_iter_fixed_batches_pads_final():
     assert bx.shape == (4,)
     assert real == 2
     assert bx[0] == 8 and bx[1] == 9 and bx[2] == 9  # edge padded
+
+
+def test_batched_zero_row_workloads_yield_empty_outputs():
+    """A decorator that expands an item into ZERO workload rows still gets
+    one (empty) yielded output — np.concatenate([]) used to raise; the
+    torch reference yields per-item outputs for such items."""
+    items = [np.ones((2, 3)), np.ones((0, 3)), np.ones((1, 3)),
+             np.ones((0, 3))]
+
+    outs = list(batched(lambda: iter(items), lambda x: x,
+                        lambda x: x * 2, batch_size=4))
+    assert [o.shape[0] for o in outs] == [2, 0, 1, 0]
+    np.testing.assert_array_equal(outs[0], np.full((2, 3), 2.0))
+    np.testing.assert_array_equal(outs[2], np.full((1, 3), 2.0))
+
+
+def test_batched_all_empty_items():
+    outs = list(batched(lambda: iter([np.ones((0, 3))] * 2), lambda x: x,
+                        lambda x: x, batch_size=4))
+    assert [o.shape[0] for o in outs] == [0, 0]
