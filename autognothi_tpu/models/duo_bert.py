@@ -73,8 +73,12 @@ def duo_bert_explainer_from_emb(
 ) -> Tuple[jax.Array, jax.Array, Dict[str, jax.Array]]:
     """-> (raw logits, attributions, observations)."""
     bias = additive_mask_bias(attention_mask, emb.dtype)
+    # encoder folds raw layer_idx 0..L-1 off its key: fold tag 11 first
+    # (vanilla convention, bert.py:332) so deep backbones (L > 20) cannot
+    # collide with the explainer head's 20+i folds below
     h = bert_encoder(subdict(p, "bert."), cfg, emb, bias,
-                     deterministic=deterministic, rng=rng)
+                     deterministic=deterministic,
+                     rng=None if rng is None else jax.random.fold_in(rng, 11))
     obs = {"repr_cls": h, "repr_exp": h}
     pooled = jnp.tanh(dense(
         h[:, 0, :], p["bert_pooler.dense.weight"].astype(h.dtype),
@@ -130,9 +134,12 @@ def duo_bert_final_fwd(
 
     obs: Dict[str, jax.Array] = {}
     if cfg.explainer_normalize:
+        # per-tower rng folds (vanilla convention, bert.py:461-475): the
+        # same key in both towers draws perfectly correlated dropout masks
         grand, obs_s = bert_surrogate_fwd(
             subdict(p, "surrogate."), cfg, input_ids, attention_mask,
-            token_type_ids, deterministic=deterministic, rng=rng,
+            token_type_ids, deterministic=deterministic,
+            rng=None if rng is None else jax.random.fold_in(rng, 22),
         )
         obs["repr_srg"] = obs_s["repr_cls"]
     else:
@@ -140,7 +147,8 @@ def duo_bert_final_fwd(
     logits, attr, obs_e = duo_bert_explainer_fwd(
         subdict(p, "explainer."), cfg, input_ids, attention_mask,
         token_type_ids, grand, p["surrogate_null"],
-        deterministic=deterministic, rng=rng,
+        deterministic=deterministic,
+        rng=None if rng is None else jax.random.fold_in(rng, 23),
     )
     # quirk preserved: the duo final reports repr_cls from the explainer's
     # observations (duo_vanilla_bert.py:200-204)

@@ -65,8 +65,12 @@ def duo_vit_explainer_from_emb(
     rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, Dict[str, jax.Array]]:
     vp = subdict(p, "vit.")
+    # encoder folds raw layer_idx 0..L-1 off its key: fold tag 11 first
+    # (vanilla convention, vit.py:357) so deep backbones (L > 20) cannot
+    # collide with the explainer head's 20+i folds below
     h = vit_encoder(vp, cfg, emb, attention_mask,
-                    deterministic=deterministic, rng=rng)
+                    deterministic=deterministic,
+                    rng=None if rng is None else jax.random.fold_in(rng, 11))
     h = layer_norm(h, vp["layernorm.weight"], vp["layernorm.bias"],
                    cfg.layer_norm_eps)
     obs = {"repr_cls": h, "repr_exp": h}
@@ -118,9 +122,12 @@ def duo_vit_final_fwd(
     patches = (vit_patch_extract(cfg, pixels) if pixels.ndim == 4
                else pixels)
     if cfg.explainer_normalize:
+        # per-tower rng folds (vanilla convention, vit.py:477-491): the
+        # same key in both towers draws perfectly correlated dropout masks
         grand, obs_s = vit_surrogate_fwd(
             subdict(p, "surrogate."), cfg, patches, attention_mask,
-            deterministic=deterministic, rng=rng,
+            deterministic=deterministic,
+            rng=None if rng is None else jax.random.fold_in(rng, 22),
         )
         obs["repr_srg"] = obs_s["repr_cls"]
     else:
@@ -128,7 +135,8 @@ def duo_vit_final_fwd(
     logits, attr, obs_e = duo_vit_explainer_fwd(
         subdict(p, "explainer."), cfg, patches, attention_mask,
         grand, p["surrogate_null"],
-        deterministic=deterministic, rng=rng,
+        deterministic=deterministic,
+        rng=None if rng is None else jax.random.fold_in(rng, 23),
     )
     obs["repr_cls"] = obs_e["repr_cls"]
     obs["repr_exp"] = obs_e["repr_exp"]

@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import pydantic
 
-from ..ops.shapley import normalize_shapley_explanation
 from .bert import (
     VanillaBertConfig,
     _cls_head,
@@ -24,7 +23,7 @@ from .bert import (
     init_bert_classifier,
     init_bert_explainer,
 )
-from .common import Params, dense, init_linear, subdict
+from .common import Params, dense, init_linear
 
 
 class FroyoBertConfig(VanillaBertConfig):

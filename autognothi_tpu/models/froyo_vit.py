@@ -9,7 +9,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .common import Params, dense, init_linear, layer_norm, subdict
+from .common import Params, dense, init_linear
 from .vit import (
     VanillaViTConfig,
     init_vit_classifier,

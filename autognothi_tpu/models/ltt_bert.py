@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import pydantic
 
+from ..ops.ladder_block import stack_branch_params as _stack_side
 from ..ops.shapley import normalize_shapley_explanation
 from .bert import (
     VanillaBertConfig,
@@ -35,6 +36,7 @@ from .common import (
     Params,
     additive_mask_bias,
     dense,
+    dense_serving,
     dropout,
     gelu,
     init_linear,
@@ -165,28 +167,6 @@ def init_ltt_bert_final(key: jax.Array, cfg: LttBertConfig) -> Params:
 
 
 # ----------------------------------------------------------------- apply
-
-
-def _stack_side(p: Params, branch: int, n_layers: int, dtype) -> Tuple[Params, Params]:
-    """Stack a branch's ladder params along a leading layer axis."""
-    maps = {
-        "weight": jnp.stack([
-            p[f"encoder.s_attn_maps.{branch}_{i}.weight"] for i in range(n_layers)
-        ]).astype(dtype),
-        "bias": jnp.stack([
-            p[f"encoder.s_attn_maps.{branch}_{i}.bias"] for i in range(n_layers)
-        ]).astype(dtype),
-    }
-    head = f"encoder.s_attn_layers.{branch}_0."
-    suffixes = [k[len(head):] for k in p if k.startswith(head)]
-    layers = {
-        suffix: jnp.stack([
-            p[f"encoder.s_attn_layers.{branch}_{i}.{suffix}"]
-            for i in range(n_layers)
-        ]).astype(dtype)
-        for suffix in suffixes
-    }
-    return maps, layers
 
 
 def ltt_bert_encoder(
@@ -427,8 +407,11 @@ def ltt_bert_explainer_head(
         out = explainer_head_block(side, w1, b1, w2, b2, w3, b3, None, None,
                                    1e-5, use_pallas=True, quant="int8")
     else:
-        side = gelu(dense(side, w1, b1))
-        side = gelu(dense(side, w2, b2))
+        # dense_serving, like the vanilla heads (bert.py:412-413): shapes
+        # too big for the fused VMEM kernel still get the W8A8 XLA path
+        # for the two wide denses under AUTOGNOTHI_INT8=1
+        side = gelu(dense_serving(side, w1, b1))
+        side = gelu(dense_serving(side, w2, b2))
         out = dense(side, w3, b3)
     if cfg.explainer_normalize:
         out = normalize_shapley_explanation(out, surrogate_grand, surrogate_null)

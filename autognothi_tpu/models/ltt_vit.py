@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import pydantic
 
+from ..ops.ladder_block import stack_branch_params as _stack_side
 from ..ops.shapley import normalize_shapley_explanation
 from .common import (
     maybe_remat,
@@ -154,25 +155,28 @@ def init_ltt_vit_final(key: jax.Array, cfg: LttViTConfig) -> Params:
 # ----------------------------------------------------------------- apply
 
 
-def _stack_side(p: Params, branch: int, n_layers: int, dtype):
-    maps = {
-        "weight": jnp.stack([
-            p[f"encoder.s_attn_maps.{branch}_{i}.weight"] for i in range(n_layers)
-        ]).astype(dtype),
-        "bias": jnp.stack([
-            p[f"encoder.s_attn_maps.{branch}_{i}.bias"] for i in range(n_layers)
-        ]).astype(dtype),
+def _ladder_weights(maps, layers):
+    """The 18-key dict ladder_block consumes (pre-norm ViT layer names);
+    shared by the training scan and the coalition fast path."""
+    return {
+        "map_w": maps["weight"], "map_b": maps["bias"],
+        "ln1_w": layers["layernorm_before.weight"],
+        "ln1_b": layers["layernorm_before.bias"],
+        "wq": layers["attention.self.query.weight"],
+        "bq": layers["attention.self.query.bias"],
+        "wk": layers["attention.self.key.weight"],
+        "bk": layers["attention.self.key.bias"],
+        "wv": layers["attention.self.value.weight"],
+        "bv": layers["attention.self.value.bias"],
+        "wo": layers["attention.output.dense.weight"],
+        "bo": layers["attention.output.dense.bias"],
+        "ln2_w": layers["layernorm_after.weight"],
+        "ln2_b": layers["layernorm_after.bias"],
+        "w1": layers["intermediate.dense.weight"],
+        "b1": layers["intermediate.dense.bias"],
+        "w2": layers["output.dense.weight"],
+        "b2": layers["output.dense.bias"],
     }
-    head = f"encoder.s_attn_layers.{branch}_0."
-    suffixes = [k[len(head):] for k in p if k.startswith(head)]
-    layers = {
-        suffix: jnp.stack([
-            p[f"encoder.s_attn_layers.{branch}_{i}.{suffix}"]
-            for i in range(n_layers)
-        ]).astype(dtype)
-        for suffix in suffixes
-    }
-    return maps, layers
 
 
 def ltt_vit_backbone(
@@ -225,27 +229,6 @@ def ltt_vit_backbone(
                              cfg.s_attn_hidden_size,
                              cfg.num_attention_heads, len(branches))
     )
-
-    def _ladder_weights(maps, layers):
-        return {
-            "map_w": maps["weight"], "map_b": maps["bias"],
-            "ln1_w": layers["layernorm_before.weight"],
-            "ln1_b": layers["layernorm_before.bias"],
-            "wq": layers["attention.self.query.weight"],
-            "bq": layers["attention.self.query.bias"],
-            "wk": layers["attention.self.key.weight"],
-            "bk": layers["attention.self.key.bias"],
-            "wv": layers["attention.self.value.weight"],
-            "bv": layers["attention.self.value.bias"],
-            "wo": layers["attention.output.dense.weight"],
-            "bo": layers["attention.output.dense.bias"],
-            "ln2_w": layers["layernorm_after.weight"],
-            "ln2_b": layers["layernorm_after.bias"],
-            "w1": layers["intermediate.dense.weight"],
-            "b1": layers["intermediate.dense.bias"],
-            "w2": layers["output.dense.weight"],
-            "b2": layers["output.dense.bias"],
-        }
 
     from .common import quant_mode
     from ..ops.ladder_block import mlp_ladder_fits_vmem
@@ -513,25 +496,7 @@ def ltt_vit_surrogate_coalitions_fwd(
         if use_ladder_kernel:
             from ..ops.ladder_block import ladder_block
 
-            weights = {
-                "map_w": s_maps["weight"], "map_b": s_maps["bias"],
-                "ln1_w": s_layers["layernorm_before.weight"],
-                "ln1_b": s_layers["layernorm_before.bias"],
-                "wq": s_layers["attention.self.query.weight"],
-                "bq": s_layers["attention.self.query.bias"],
-                "wk": s_layers["attention.self.key.weight"],
-                "bk": s_layers["attention.self.key.bias"],
-                "wv": s_layers["attention.self.value.weight"],
-                "bv": s_layers["attention.self.value.bias"],
-                "wo": s_layers["attention.output.dense.weight"],
-                "bo": s_layers["attention.output.dense.bias"],
-                "ln2_w": s_layers["layernorm_after.weight"],
-                "ln2_b": s_layers["layernorm_after.bias"],
-                "w1": s_layers["intermediate.dense.weight"],
-                "b1": s_layers["intermediate.dense.bias"],
-                "w2": s_layers["output.dense.weight"],
-                "b2": s_layers["output.dense.bias"],
-            }
+            weights = _ladder_weights(s_maps, s_layers)
             (side,) = ladder_block(
                 h, [side], flat_masks, [weights],
                 cfg.num_attention_heads, "mul", True, cfg.layer_norm_eps,

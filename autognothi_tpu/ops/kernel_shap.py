@@ -78,7 +78,12 @@ def _sample_coalitions(
     weights: List[float] = []
     remaining = n_samples
     remaining_w = 1.0
-    half = (m - 1) // 2 + 1
+    # enumerate sizes from both ends simultaneously: s and its complement
+    # m-s.  Stop at m//2 so each size is visited exactly ONCE — going one
+    # further (the shap bound is ceil((M-1)/2) = m//2) re-enumerates
+    # already-covered sizes for odd m, duplicating their rows and doubling
+    # their total WLS weight (biased phi) while burning budget
+    half = m // 2
     enumerated = set()
     for s in range(1, half + 1):
         paired = (s != m - s) and (m - s) <= m - 1

@@ -48,6 +48,33 @@ N_BRANCH_ARGS = 18  # map_w, map_b, ln1_w, ln1_b, wq, bq, wk, bk, wv, bv,
 # wo, bo, ln2_w, ln2_b, w1, b1, w2, b2
 
 
+def stack_branch_params(p, branch: int, n_layers: int, dtype):
+    """Stack one side branch's ladder params along a leading layer axis
+    (the lax.scan layout both LTT models consume); shared so the ViT and
+    BERT encoders cannot drift apart."""
+    maps = {
+        "weight": jnp.stack([
+            p[f"encoder.s_attn_maps.{branch}_{i}.weight"]
+            for i in range(n_layers)
+        ]).astype(dtype),
+        "bias": jnp.stack([
+            p[f"encoder.s_attn_maps.{branch}_{i}.bias"]
+            for i in range(n_layers)
+        ]).astype(dtype),
+    }
+    head = f"encoder.s_attn_layers.{branch}_0."
+    suffixes = [k[len(head):] for k in p if k.startswith(head)]
+    layers = {
+        suffix: jnp.stack([
+            p[f"encoder.s_attn_layers.{branch}_{i}.{suffix}"]
+            for i in range(n_layers)
+        ]).astype(dtype)
+        for suffix in suffixes
+    }
+    return maps, layers
+
+
+
 def _stacked_default() -> bool:
     """Head-stacked attention math (one big scores dot + one big PV dot
     instead of 2*n_heads chained narrow dots).  Opt-out knob."""

@@ -374,12 +374,18 @@ def _tiled_mlp(resid, w1_t, b1, w2_t, b2, ln_w, ln_b, ln_position, ln_eps,
 
 
 def _fits_vmem(resid, w1, quant: str = "none", group: int = 1) -> bool:
-    t, h = resid.shape[-2] * group, resid.shape[-1]
+    t, h = resid.shape[-2], resid.shape[-1]
     inter = w1.shape[0]
     itemsize = jnp.dtype(resid.dtype).itemsize
     w_item = 1 if quant == "int8" else itemsize  # int8 weights halve VMEM
     weights = 2 * h * inter * w_item
-    acts = t * inter * (4 + itemsize) + 3 * t * h * itemsize
+    # only the r_ref/o_ref blocks hold the whole g-image group; the <T,
+    # inter> intermediate and the quant buffers are per-image temporaries
+    # of the kernels' group loop — counting them g-fold rejected shapes
+    # that actually fit (same over-count attention_block.py:347-352 fixed)
+    acts = (2 * group * t * h * itemsize  # r_ref + o_ref blocks
+            + t * inter * (4 + itemsize)  # f32 inter + cast copy, one image
+            + t * h * itemsize)           # x / LN copy for one image
     if quant == "int8":
         acts += t * inter  # the re-quantized int8 intermediate
     return weights + acts < _VMEM_BUDGET_BYTES

@@ -88,3 +88,35 @@ def test_single_player_gets_full_logit_difference():
         return np.log(p / (1 - p))
     total = logit(fn(np.array([[2.0]]))[0]) - logit(fn(bg).mean(axis=0))
     np.testing.assert_allclose(phi[:, 0], total, atol=1e-6)
+
+
+def test_sample_coalitions_odd_m_enumerates_each_size_once():
+    """Odd player counts: the paired both-ends enumeration must stop at
+    m//2 — one further (the old bound) re-enumerated already-covered sizes
+    as exact duplicate rows with doubled WLS weight (biased phi)."""
+    from autognothi_tpu.ops.kernel_shap import _sample_coalitions
+
+    for m in (3, 5, 7):
+        rows, w = _sample_coalitions(m, 10_000, np.random.RandomState(0))
+        uniq = {tuple(r) for r in rows}
+        assert len(uniq) == len(rows) == 2 ** m - 2, m  # no duplicates
+        np.testing.assert_allclose(w.sum(), 1.0, atol=1e-9)
+
+
+def test_linear_model_exact_odd_players():
+    """Same additive-exactness contract at an ODD player count — the old
+    enumeration bound double-weighted the middle sizes exactly here (the
+    repo's experiment configs are all even, so nothing else pins it)."""
+    rng = np.random.RandomState(4)
+    M = 7
+    w = rng.randn(M)
+
+    def fn(rows):
+        rows = np.atleast_2d(rows)
+        p1 = 1 / (1 + np.exp(-(rows @ w)))
+        return np.stack([1 - p1, p1], axis=1)
+
+    background = rng.randn(1, M)
+    x = rng.randn(M)
+    phi = kernel_shap(fn, background, np.ones(1), x, n_samples=600, seed=5)
+    np.testing.assert_allclose(phi[1], w * (x - background[0]), atol=1e-5)
