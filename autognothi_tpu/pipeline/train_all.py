@@ -160,13 +160,15 @@ def conv_explainer_final(env: ExpEnv) -> None:
         final_params = recipe.conv_explainer_final(
             m_config, m_misc, cls_params, srg_params, exp_params, key
         )
-        if not _verify_final_coherency(env, final_params):
+        if not _verify_final_coherency(env, final_params, cls_params,
+                                       srg_params, exp_params):
             raise ValueError("cannot save final model due to non-coherency")
         save_epoch_ckpt(env.model_path, "final", _STAGE0_TRAIN_CFG, 0, final_params)
         env.log("[[[ convert models -> final 0 ok ]]]")
 
 
-def _verify_final_coherency(env: ExpEnv, final_params) -> bool:
+def _verify_final_coherency(env: ExpEnv, final_params, cls_params,
+                            srg_params, exp_params) -> bool:
     """Numeric invariant: the merged Final reproduces the individual
     classifier/explainer outputs on the null input to 1e-5
     (train_all.py:166-218) — the conversion regression test run on every
@@ -178,12 +180,8 @@ def _verify_final_coherency(env: ExpEnv, final_params) -> bool:
         env.log("[[[ skipped: net recipe does not support this ]]]")
         return True
 
-    env.log("loading model parameters...")
-    _, cls_params = load_epoch_model(env, recipe, "classifier")
-    _, srg_params = load_epoch_model(env, recipe, "surrogate")
-    _, exp_params = load_epoch_model(env, recipe, "explainer")
-
-    env.log("judging...")
+    env.log("judging...")  # stage params arrive from the caller — the
+    # conversion just loaded them (re-reading was 2x the checkpoint I/O)
     m_misc = recipe.load_misc(env.model_path, m_config)
     n_players = recipe.n_players(m_config)
     nil_xs = jnp.asarray(recipe.gen_null(m_config, m_misc))

@@ -19,6 +19,8 @@ from ..utils.seeding import iterative_key, set_iterative_seed
 from .env import ExpEnv
 from .resources import (get_recipe, load_cfg_dataset, load_epoch_model,
                         maybe_restore_opt_state, save_epoch_ckpt)
+from ..models.common import quant_override
+from ..parallel.train_step import mesh_safe_pallas
 from .training import (
     LossDrain,
     graceful_training,
@@ -78,19 +80,30 @@ def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
 
     def loss_fn(p, xs, mask, labels, rng, ltt_active, weights):
         kw = {"ltt_active_layers": ltt_active} if is_ltt else {}
-        probs, _ = recipe.fw_classifier(
-            m_config, p, xs, mask, deterministic=False, rng=rng, **kw
-        )
+        # differentiated fwd: quant pinned off (the custom_vjp backward
+        # differentiates the full-precision dense — W8A8 belongs to no-grad
+        # serving/teacher paths only) and XLA-path under a mesh (GSPMD
+        # would replicate a pallas_call behind all-gathers — train_step.py)
+        with mesh_safe_pallas(), quant_override("none"):
+            probs, _ = recipe.fw_classifier(
+                m_config, p, xs, mask, deterministic=False, rng=rng, **kw
+            )
         loss = cross_entropy_on_probs(probs, labels, weights)
         return loss, probs
 
     step = make_train_step(tx, loss_fn)
-    eval_fwd = jax.jit(
-        lambda p, xs, mask, ltt_active: recipe.fw_classifier(
-            m_config, p, xs, mask,
-            **({"ltt_active_layers": ltt_active} if is_ltt else {}),
-        )[0]
-    )
+
+    def _eval(p, xs, mask, labels, weights, ltt_active):
+        # one executable per eval batch: probs AND the loss (eager
+        # cross-entropy cost ~6 tunnel dispatches per batch)
+        with mesh_safe_pallas(), quant_override("none"):
+            probs = recipe.fw_classifier(
+                m_config, p, xs, mask,
+                **({"ltt_active_layers": ltt_active} if is_ltt else {}),
+            )[0]
+        return probs, cross_entropy_on_probs(probs, labels, weights)
+
+    eval_fwd = jax.jit(_eval)
 
     for epoch in range(epoch_start + 1, config.train_classifier.epochs + 1):
         set_iterative_seed(config.seed, f"train_classifier[epoch={epoch}]")
@@ -151,8 +164,8 @@ def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
                         xs, mask_1, jnp.asarray(zs_p), step_rng, ltt_active, w,
                     )
                 else:
-                    probs = eval_fwd(params, xs, mask_1, ltt_active)
-                    loss = cross_entropy_on_probs(probs, jnp.asarray(zs_p), w)
+                    probs, loss = eval_fwd(params, xs, mask_1,
+                                           jnp.asarray(zs_p), w, ltt_active)
                 drain.push((loss, probs), (np.asarray(zs), batch))
             drain.flush()
             total = max(state["total"], 1)

@@ -1,9 +1,11 @@
 """Surrogate training stage: KL-distillation of the frozen classifier under
 random coalition masks (parity: /root/reference/scripts/train_surrogate.py).
 
-TPU notes: masks are drawn on-device from the epoch key; teacher forward,
-student forward, loss and optimizer update compile into one XLA program per
-batch shape."""
+TPU notes: masks are drawn on-device from the epoch key; the student
+forward, BOTH losses (KL + the cls metric) and the optimizer update compile
+into one XLA program per batch shape, with the frozen teacher forward as
+one more (its output feeds the step as data — two dispatches per batch
+total, all device values fetched through LossDrain)."""
 
 from __future__ import annotations
 
@@ -19,6 +21,8 @@ from ..utils.seeding import iterative_key, set_iterative_seed
 from .env import ExpEnv
 from .resources import (get_recipe, load_cfg_dataset, load_epoch_model,
                         maybe_restore_opt_state, save_epoch_ckpt)
+from ..models.common import quant_override
+from ..parallel.train_step import mesh_safe_pallas
 from .training import (
     LossDrain,
     graceful_training,
@@ -75,23 +79,40 @@ def train_surrogate(env: ExpEnv) -> None:
     def _ltt_kw(ltt_active):
         return {"ltt_active_layers": ltt_active} if is_ltt else {}
 
-    teacher_fwd = jax.jit(
-        lambda p, xs, mask: recipe.fw_classifier(m_config, p, xs, mask)[1]
-    )
+    def _teacher(p, xs, mask):
+        # frozen no-grad teacher: XLA-path under a mesh (GSPMD replicates
+        # pallas_calls behind all-gathers — parallel.train_step rationale)
+        with mesh_safe_pallas():
+            return recipe.fw_classifier(m_config, p, xs, mask)[1]
 
-    def loss_fn(p, xs, mask, orig_ys, rng, ltt_active, weights):
-        adapt_ys, _ = recipe.fw_surrogate(
-            m_config, p, xs, mask, deterministic=False, rng=rng,
-            **_ltt_kw(ltt_active),
-        )
-        return loss_logits_kl_divergence(orig_ys, adapt_ys, weights), adapt_ys
+    teacher_fwd = jax.jit(_teacher)
+
+    def loss_fn(p, xs, mask, orig_ys, labels, rng, ltt_active, weights):
+        # differentiated fwd: quant pinned off (custom_vjp backwards
+        # differentiate the full-precision dense) + mesh-safe XLA path
+        with mesh_safe_pallas(), quant_override("none"):
+            adapt_ys, _ = recipe.fw_surrogate(
+                m_config, p, xs, mask, deterministic=False, rng=rng,
+                **_ltt_kw(ltt_active),
+            )
+        kld = loss_logits_kl_divergence(orig_ys, adapt_ys, weights)
+        # the cls metric rides the SAME executable (eagerly it cost ~6
+        # per-batch tunnel dispatches)
+        cls = cross_entropy_on_probs(adapt_ys, labels, weights)
+        return kld, (cls, adapt_ys)
 
     step = make_train_step(tx, loss_fn)
-    eval_fwd = jax.jit(
-        lambda p, xs, mask, ltt_active: recipe.fw_surrogate(
-            m_config, p, xs, mask, **_ltt_kw(ltt_active)
-        )[0]
-    )
+
+    def _eval(p, xs, mask, orig_ys, labels, weights, ltt_active):
+        with mesh_safe_pallas(), quant_override("none"):
+            adapt_ys = recipe.fw_surrogate(
+                m_config, p, xs, mask, **_ltt_kw(ltt_active)
+            )[0]
+        return (adapt_ys,
+                loss_logits_kl_divergence(orig_ys, adapt_ys, weights),
+                cross_entropy_on_probs(adapt_ys, labels, weights))
+
+    eval_fwd = jax.jit(_eval)
 
     def run_epoch(epoch: int, rng, lr, update_mask, ltt_active, train: bool):
         nonlocal params, opt_state
@@ -133,16 +154,15 @@ def train_surrogate(env: ExpEnv) -> None:
             mask_rand = mask_purely_uniform(mask_key, padded, n_players)
             orig_ys = teacher_fwd(cls_params, jnp.asarray(xs), mask_1)
             if train:
-                params, opt_state, loss_kld, adapt_ys = step(
+                params, opt_state, loss_kld, (loss_cls, adapt_ys) = step(
                     params, opt_state, lr, update_mask,
-                    jnp.asarray(xs), mask_rand, orig_ys, step_rng, ltt_active,
-                    w,
+                    jnp.asarray(xs), mask_rand, orig_ys, jnp.asarray(zs_p),
+                    step_rng, ltt_active, w,
                 )
             else:
-                adapt_ys = eval_fwd(params, jnp.asarray(xs), mask_rand,
-                                    ltt_active)
-                loss_kld = loss_logits_kl_divergence(orig_ys, adapt_ys, w)
-            loss_cls = cross_entropy_on_probs(adapt_ys, jnp.asarray(zs_p), w)
+                adapt_ys, loss_kld, loss_cls = eval_fwd(
+                    params, jnp.asarray(xs), mask_rand, orig_ys,
+                    jnp.asarray(zs_p), w, ltt_active)
             drain.push((loss_kld, loss_cls, adapt_ys), (np.asarray(zs), batch))
         drain.flush()
         total = max(state["total"], 1)

@@ -9,9 +9,14 @@ Design decisions (TPU-first re-design of the reference trainers):
   with no grad.
 - LTT progressive training needs the freeze set to change *per epoch*
   without resetting Adam moments; that is a dynamic 0/1 `update_mask`
-  multiplied into both gradients and updates inside the compiled step
-  (progressively-frozen side layers have zero moments anyway, so this is
-  exactly torch's behavior).
+  multiplied into both gradients and updates inside the compiled step.
+  KNOWN DEVIATION (experimental path only — no shipped config enables
+  progressive training, here or in the reference): optax keeps ONE global
+  Adam count, so a layer unfrozen at step t gets its first updates
+  bias-corrected as if it had trained all along (~(1-b1^t)^-.5 smaller
+  denominator -> up to ~3x larger first steps than torch, whose per-param
+  state starts at step 1 on first update).  Moments themselves are zero
+  for masked layers, matching torch.
 - The lr schedule replicates torch CosineAnnealingLR stepped per *epoch*
   (train_classifier.py:41-43,82); the lr is a step argument so one compiled
   executable serves all epochs.
