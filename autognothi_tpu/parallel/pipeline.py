@@ -1,0 +1,313 @@
+"""GPipe-style pipeline parallelism (pp) over a ("data", "pipe") mesh.
+
+The reference is single-device (SURVEY §2.9); this completes the rebuild's
+parallelism set as new TPU-native capability:
+
+- dp: batch/coalition axis over "data" (parallel/mesh.py, train_step.py);
+- tp: Megatron specs over "model" (parallel/mesh.py);
+- sp: the coalition axis (B x n_mask_samples masked forwards) IS this
+  workload's sequence-like scaling dimension and shards along "data"
+  (SURVEY §5.7) — there is no separate long-context axis to split;
+- ep: n/a by design — no reference architecture is MoE;
+- pp: THIS MODULE.
+
+Design: the encoders are already a `lax.scan` over stacked per-layer
+weights (models/vit.py:318-342, models/bert.py:288-311), so a pipeline
+stage is a contiguous slab of that stack.  Inside `shard_map` each pipe
+rank holds L/P layers (in_spec P("pipe", ...) on the stacked leaves — the
+weights and their optimizer state live stage-sharded, the memory win pp
+exists for); activations hop stage-to-stage via `lax.ppermute` on the
+GPipe schedule (M microbatches, M+P-1 ticks, bubble fraction
+(P-1)/(M+P-1)).  `lax.ppermute` transposes to the reversed permutation,
+so one `jax.grad` over the wrapped forward backpropagates through the
+pipeline without any hand-written backward schedule.
+
+The finished-microbatch buffer is exposed with an explicit leading "pipe"
+axis and the caller slices the last stage's block — an AD-exact choice: a
+psum-broadcast of the result would scale replicated-output cotangents by
+P under check_vma=False.
+
+Composes with dp: the batch shards along "data" (each pipe rank sees its
+data shard replicated across "pipe"), so an N-device mesh splits
+(N // pipe) ways on batch and `pipe` ways on depth.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..recipes.types import Params
+from .mesh import _smap
+
+
+def make_pipe_mesh(n_devices: Optional[int] = None, pipe: int = 2) -> Mesh:
+    """Mesh over ("data", "pipe").  pipe=1 degenerates to pure dp."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if n % pipe != 0:
+        raise ValueError(f"{n} devices not divisible by pipe={pipe}")
+    if n > len(devices):
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devices)} device(s) "
+            "are visible — shrink the mesh or raise "
+            "xla_force_host_platform_device_count")
+    grid = np.asarray(devices[:n]).reshape(n // pipe, pipe)
+    return Mesh(grid, ("data", "pipe"))
+
+
+def pipelined_scan(
+    stage_body: Callable,
+    stacked: Params,
+    h0: jax.Array,
+    side,
+    mesh: Mesh,
+    *,
+    microbatches: int,
+):
+    """Run `h = stage_body(slab, h, side_mb, first_layer)` through a GPipe
+    pipeline over the mesh's "pipe" axis.
+
+    stage_body applies ONE stage's layers (typically a lax.scan over the
+    slab) to a microbatch; `slab` is the stage-local (L/P, ...) slice of
+    `stacked`, `side_mb` the microbatch's slice of `side` (per-sample side
+    inputs such as coalition masks; pytree or None), `first_layer` the
+    traced global index of the stage's first layer (for rng folding).
+
+    stacked: pytree with leading layer axis L (L % pipe == 0).
+    h0: <B, ...> activations; B % (n_data * microbatches) == 0.
+    Returns <B, ...> outputs equal to running all L layers sequentially.
+    """
+    n_pipe = mesh.shape["pipe"]
+    n_data = mesh.shape.get("data", 1)
+    leaves = jax.tree.leaves(stacked)
+    if not leaves:
+        raise ValueError("pipelined_scan: empty layer stack")
+    n_layers = leaves[0].shape[0]
+    if n_layers % n_pipe != 0:
+        raise ValueError(
+            f"pipelined_scan: {n_layers} layers do not divide pipe={n_pipe} "
+            "— pick a pipe that divides num_hidden_layers")
+    batch = h0.shape[0]
+    if microbatches < 1 or batch % (n_data * microbatches) != 0:
+        raise ValueError(
+            f"pipelined_scan: batch {batch} does not divide "
+            f"data={n_data} x microbatches={microbatches}")
+    mb = batch // (n_data * microbatches)
+    perm = [(i, i + 1) for i in range(n_pipe - 1)]
+
+    def per_device(slab, h_loc, side_loc):
+        stage = jax.lax.axis_index("pipe")
+        h_mbs = h_loc.reshape(microbatches, mb, *h_loc.shape[1:])
+        side_mbs = jax.tree.map(
+            lambda s: s.reshape(microbatches, mb, *s.shape[1:]), side_loc)
+        zero = jnp.zeros_like(h_mbs[0])
+        outputs0 = jnp.zeros_like(h_mbs)
+
+        def tick(carry, t):
+            recv, outputs = carry
+            # stage s processes microbatch (t - s); clamped garbage during
+            # bubble ticks is computed but never collected (out_idx guard)
+            mb_idx = jnp.clip(t - stage, 0, microbatches - 1)
+            inject = jax.lax.dynamic_index_in_dim(
+                h_mbs, jnp.clip(t, 0, microbatches - 1), 0, keepdims=False)
+            x = jnp.where(stage == 0, inject, recv)
+            s_mb = jax.tree.map(
+                lambda s: jax.lax.dynamic_index_in_dim(
+                    s, mb_idx, 0, keepdims=False),
+                side_mbs)
+            y = stage_body(slab, x, s_mb, stage * (n_layers // n_pipe))
+            out_idx = t - (n_pipe - 1)
+            valid = jnp.logical_and(stage == n_pipe - 1, out_idx >= 0)
+            idx = jnp.clip(out_idx, 0, microbatches - 1)
+            cur = jax.lax.dynamic_index_in_dim(outputs, idx, 0,
+                                               keepdims=False)
+            outputs = jax.lax.dynamic_update_index_in_dim(
+                outputs, jnp.where(valid, y, cur), idx, 0)
+            nxt = jax.lax.ppermute(y, "pipe", perm) if perm else zero
+            return (nxt, outputs), None
+
+        (_, outputs), _ = jax.lax.scan(
+            tick, (zero, outputs0),
+            jnp.arange(microbatches + n_pipe - 1))
+        return outputs[None]  # expose the pipe axis: (1, M, mb, ...)
+
+    slab_specs = jax.tree.map(
+        lambda v: P("pipe", *([None] * (v.ndim - 1))), stacked)
+    h_spec = P("data", *([None] * (h0.ndim - 1)))
+    side_specs = jax.tree.map(
+        lambda s: P("data", *([None] * (jnp.asarray(s).ndim - 1))), side)
+    out_spec = P("pipe", None, "data", *([None] * (h0.ndim - 1)))
+    outputs = _smap()(
+        per_device, mesh=mesh,
+        in_specs=(slab_specs, h_spec, side_specs),
+        out_specs=out_spec, check_vma=False,
+    )(stacked, h0, side)
+    # global <P, M, n_data*mb, ...>; the last stage's block holds the result
+    res = outputs[n_pipe - 1]
+    # undo the (data-major, microbatch-minor) interleave back to batch order
+    res = res.reshape(microbatches, n_data, mb, *res.shape[2:])
+    res = jnp.moveaxis(res, 1, 0)
+    return res.reshape(batch, *res.shape[3:])
+
+
+# ------------------------------------------------------------ model adapters
+
+
+def _stage_scanner(layer_body, n_local: int, rng):
+    """Wrap a per-layer body into a stage body scanning its local slab."""
+    from ..models.common import maybe_remat
+
+    def stage_body(slab, x, side, first_layer):
+        def body(carry, xs):
+            layer, local_idx = xs
+            layer_rng = (None if rng is None
+                         else jax.random.fold_in(rng, first_layer + local_idx))
+            return layer_body(layer, carry, side, layer_rng), None
+
+        x, _ = jax.lax.scan(maybe_remat(body), x, (slab, jnp.arange(n_local)))
+        return x
+
+    return stage_body
+
+
+def pipelined_vit_encoder(
+    p: Params,
+    cfg,
+    h: jax.Array,
+    mask: Optional[jax.Array],
+    mesh: Mesh,
+    *,
+    microbatches: int,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Drop-in pipelined models/vit.vit_encoder (flat `vit.` params)."""
+    from ..models.common import stack_layer_params
+
+    stacked = stack_layer_params(p, "encoder.layers", cfg.num_hidden_layers,
+                                 dtype=h.dtype)
+    return pipelined_vit_encoder_stacked(
+        stacked, cfg, h, mask, mesh,
+        microbatches=microbatches, deterministic=deterministic, rng=rng)
+
+
+def pipelined_vit_encoder_stacked(
+    stacked: Params, cfg, h, mask, mesh, *,
+    microbatches: int, deterministic: bool = True, rng=None,
+) -> jax.Array:
+    from ..models.vit import _vit_layer_body
+
+    def layer_body(layer, x, side, layer_rng):
+        return _vit_layer_body(layer, x, side, cfg, has_ln1=True,
+                               deterministic=deterministic, rng=layer_rng)
+
+    n_local = cfg.num_hidden_layers // mesh.shape["pipe"]
+    return pipelined_scan(_stage_scanner(layer_body, n_local, rng),
+                          stacked, h, mask, mesh, microbatches=microbatches)
+
+
+def pipelined_bert_encoder(
+    p: Params,
+    cfg,
+    h: jax.Array,
+    mask_bias: Optional[jax.Array],
+    mesh: Mesh,
+    *,
+    microbatches: int,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Drop-in pipelined models/bert.bert_encoder (flat `bert.` params)."""
+    from ..models.bert import _bert_layer_body
+    from ..models.common import stack_layer_params
+
+    stacked = stack_layer_params(p, "encoder.layers", cfg.num_hidden_layers,
+                                 dtype=h.dtype)
+
+    def layer_body(layer, x, side, layer_rng):
+        return _bert_layer_body(layer, x, side, cfg, ident_ln1=False,
+                                deterministic=deterministic, rng=layer_rng)
+
+    n_local = cfg.num_hidden_layers // mesh.shape["pipe"]
+    return pipelined_scan(_stage_scanner(layer_body, n_local, rng),
+                          stacked, h, mask_bias, mesh,
+                          microbatches=microbatches)
+
+
+# ------------------------------------------------- stage-sharded training
+
+
+def split_encoder_params(
+    params: Params, n_layers: int, mesh: Mesh,
+    prefix: str = "vit.encoder.layers",
+) -> tuple:
+    """-> (rest, stacked): the encoder's per-layer weights stacked along a
+    leading layer axis and device_put stage-sharded along "pipe" (each rank
+    materializes ONLY its L/P slab — the pp memory model); everything else
+    replicated.  The pp train step keeps grads and optimizer moments in the
+    same layout, so per-rank weight+state memory scales 1/P with depth."""
+    head = f"{prefix}.0."
+    suffixes = [k[len(head):] for k in params if k.startswith(head)]
+    if not suffixes:
+        raise ValueError(f"split_encoder_params: no params under {prefix!r}")
+    stacked = {}
+    for s in suffixes:
+        v = jnp.stack([params[f"{prefix}.{i}.{s}"] for i in range(n_layers)])
+        stacked[s] = jax.device_put(
+            v, NamedSharding(mesh, P("pipe", *([None] * (v.ndim - 1)))))
+    rest = {
+        k: jax.device_put(v, NamedSharding(mesh, P()))
+        for k, v in params.items() if not k.startswith(f"{prefix}.")
+    }
+    return rest, stacked
+
+
+def pp_vit_classifier_fwd(
+    rest: Params, stacked: Params, cfg, pixels: jax.Array,
+    mask: Optional[jax.Array], mesh: Mesh, *, microbatches: int,
+) -> jax.Array:
+    """models/vit.vit_classifier_fwd with the encoder pipelined: embeddings
+    and head run GSPMD-sharded on the same mesh; the 12-layer trunk runs
+    stage-sharded.  -> <B, n_classes> softmax probabilities."""
+    from ..models.common import dense, layer_norm, subdict
+    from ..models.vit import vit_embeddings
+
+    vp = subdict(rest, "vit.")
+    h = vit_embeddings(vp, cfg, pixels)
+    h = pipelined_vit_encoder_stacked(stacked, cfg, h, mask, mesh,
+                                      microbatches=microbatches)
+    h = layer_norm(h, vp["layernorm.weight"], vp["layernorm.bias"],
+                   cfg.layer_norm_eps)
+    logits = dense(h[:, 0, :], rest["classifier.weight"].astype(h.dtype),
+                   rest["classifier.bias"].astype(h.dtype))
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def make_pp_classifier_train_step(cfg, tx, mesh: Mesh, *, microbatches: int):
+    """Jitted (rest, stacked, opt_state, pixels, mask, labels) ->
+    (rest, stacked, opt_state, loss): cross-entropy step on the pp
+    classifier with weights, grads and Adam moments stage-sharded along
+    "pipe" and the batch sharded along "data" — the full-training-step pp
+    contract the dryrun validates."""
+
+    def loss_fn(rest, stacked, pixels, mask, labels):
+        probs = pp_vit_classifier_fwd(rest, stacked, cfg, pixels, mask,
+                                      mesh, microbatches=microbatches)
+        logp = jnp.log(jnp.clip(probs, 1e-9, None))
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+
+    @jax.jit
+    def step(rest, stacked, opt_state, pixels, mask, labels):
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            rest, stacked, pixels, mask, labels)
+        updates, opt_state = tx.update(grads, opt_state, (rest, stacked))
+        rest, stacked = optax.apply_updates((rest, stacked), updates)
+        return rest, stacked, opt_state, loss
+
+    return step

@@ -1,0 +1,256 @@
+"""Pipeline parallelism (parallel/pipeline.py): GPipe schedule over the
+("data", "pipe") mesh.
+
+The reference is single-device; pp is new TPU-native capability completing
+the parallelism set (dp/tp: parallel/mesh.py, sp: the coalition axis,
+ep: n/a — no MoE architectures).  Pinned here:
+
+- forward parity: the pipelined encoder equals the sequential lax.scan
+  (ViT and BERT bodies, dp x pp composed on the 8-device CPU mesh);
+- grad parity: cotangents flow through the transposed ppermutes — both
+  activation grads and stage-sharded weight grads match the sequential
+  reference;
+- stage-sharded training: the pp classifier step keeps weights, grads and
+  Adam moments P("pipe")-sharded while the loss decreases;
+- the compiled forward moves activations with collective-permutes and
+  never all-gathers a weight slab;
+- fail-closed: layer counts / batches that do not divide the mesh raise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from autognothi_tpu.models.common import stack_layer_params, subdict
+from autognothi_tpu.models.vit import (
+    VanillaViTConfig,
+    init_vit_classifier,
+    vit_embeddings,
+    vit_encoder,
+)
+from autognothi_tpu.parallel.pipeline import (
+    make_pipe_mesh,
+    make_pp_classifier_train_step,
+    pipelined_bert_encoder,
+    pipelined_vit_encoder,
+    pipelined_vit_encoder_stacked,
+    pp_vit_classifier_fwd,
+    split_encoder_params,
+)
+
+
+def _mini_cfg(layers=4):
+    return VanillaViTConfig(
+        attention_probs_dropout_prob=0.0,
+        explainer_attn_num_layers=1,
+        explainer_head_hidden_size=16,
+        explainer_normalize=True,
+        hidden_dropout_prob=0.0,
+        hidden_size=32,
+        intermediate_size=64,
+        layer_norm_eps=1e-12,
+        num_attention_heads=4,
+        num_hidden_layers=layers,
+        num_labels=3,
+        img_channels=3,
+        img_px_size=16,
+        img_patch_size=8,
+    )
+
+
+@pytest.fixture(scope="module")
+def vit_setup():
+    cfg = _mini_cfg()
+    p = init_vit_classifier(jax.random.PRNGKey(0), cfg)
+    vp = subdict(p, "vit.")
+    rs = np.random.RandomState(0)
+    pixels = jnp.asarray(rs.randn(8, 3, 16, 16).astype(np.float32))
+    mask = jnp.asarray(  # token mask incl. CLS (multiplicative score mask)
+        rs.randint(0, 2, (8, cfg.n_patches + 1)).astype(np.float32)
+    )
+    h0 = vit_embeddings(vp, cfg, pixels)
+    return cfg, p, vp, pixels, mask, h0
+
+
+def test_pp_vit_encoder_matches_scan(vit_setup):
+    cfg, _, vp, _, mask, h0 = vit_setup
+    ref = vit_encoder(vp, cfg, h0, mask)
+    for pipe, micro in ((4, 2), (2, 2), (1, 1)):  # batch 8 = data x micro x mb
+        mesh = make_pipe_mesh(8, pipe=pipe)
+        out = pipelined_vit_encoder(vp, cfg, h0, mask, mesh,
+                                    microbatches=micro)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_pp_vit_encoder_no_mask(vit_setup):
+    cfg, _, vp, _, _, h0 = vit_setup
+    ref = vit_encoder(vp, cfg, h0, None)
+    mesh = make_pipe_mesh(8, pipe=4)
+    out = pipelined_vit_encoder(vp, cfg, h0, None, mesh, microbatches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pp_grads_match(vit_setup):
+    cfg, _, vp, _, mask, h0 = vit_setup
+    mesh = make_pipe_mesh(8, pipe=4)
+    rs = np.random.RandomState(1)
+    probe_shape = jax.eval_shape(lambda h: vit_encoder(vp, cfg, h, mask), h0)
+    probe = jnp.asarray(rs.randn(*probe_shape.shape).astype(np.float32))
+
+    g_ref = jax.grad(lambda h: jnp.sum(vit_encoder(vp, cfg, h, mask) * probe))(
+        h0)
+    g_pp = jax.grad(lambda h: jnp.sum(
+        pipelined_vit_encoder(vp, cfg, h, mask, mesh, microbatches=2) * probe
+    ))(h0)
+    np.testing.assert_allclose(np.asarray(g_pp), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+
+    stacked = stack_layer_params(vp, "encoder.layers", cfg.num_hidden_layers)
+
+    def ref_from_stacked(s):
+        q = dict(vp)
+        for k, v in s.items():
+            for i in range(cfg.num_hidden_layers):
+                q[f"encoder.layers.{i}.{k}"] = v[i]
+        return jnp.sum(vit_encoder(q, cfg, h0, mask) * probe)
+
+    g_ref_s = jax.grad(ref_from_stacked)(stacked)
+    g_pp_s = jax.grad(lambda s: jnp.sum(
+        pipelined_vit_encoder_stacked(s, cfg, h0, mask, mesh, microbatches=2)
+        * probe
+    ))(stacked)
+    for k in g_ref_s:
+        np.testing.assert_allclose(
+            np.asarray(g_pp_s[k]), np.asarray(g_ref_s[k]),
+            rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_pp_classifier_train_step_stage_sharded(vit_setup):
+    cfg, p, _, pixels, _, _ = vit_setup
+    mesh = make_pipe_mesh(8, pipe=2)
+    rest, stacked = split_encoder_params(p, cfg.num_hidden_layers, mesh)
+    spec = stacked["attention.self.query.weight"].sharding.spec
+    assert spec[0] == "pipe", spec
+
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init((rest, stacked))
+    step = make_pp_classifier_train_step(cfg, tx, mesh, microbatches=2)
+    rs = np.random.RandomState(2)
+    labels = jnp.asarray(rs.randint(0, cfg.num_labels, (8,)))
+    ones = jnp.ones((8, cfg.n_patches + 1), jnp.float32)
+
+    losses = []
+    for _ in range(4):
+        rest, stacked, opt_state, loss = step(
+            rest, stacked, opt_state, pixels, ones, labels)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
+    # weights AND Adam moments stay stage-sharded after the update
+    spec = stacked["attention.self.query.weight"].sharding.spec
+    assert spec[0] == "pipe", spec
+    mu = jax.tree.leaves(opt_state)  # find a moment matching a stacked leaf
+    stacked_shapes = {v.shape for v in stacked.values()}
+    sharded_moments = [
+        m for m in mu
+        if hasattr(m, "sharding") and m.shape in stacked_shapes
+        and getattr(m.sharding, "spec", None)
+        and m.sharding.spec and m.sharding.spec[0] == "pipe"
+    ]
+    assert sharded_moments, "no pipe-sharded Adam moments found"
+
+
+def test_pp_fwd_parity_vs_plain_classifier(vit_setup):
+    cfg, p, _, pixels, _, _ = vit_setup
+    from autognothi_tpu.models.vit import vit_classifier_fwd
+
+    mesh = make_pipe_mesh(8, pipe=4)
+    rest, stacked = split_encoder_params(p, cfg.num_hidden_layers, mesh)
+    ones = jnp.ones((8, cfg.n_patches + 1), jnp.float32)
+    probs = pp_vit_classifier_fwd(rest, stacked, cfg, pixels, ones, mesh,
+                                  microbatches=2)
+    ref, _ = vit_classifier_fwd(p, cfg, pixels, ones)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pp_collective_shape(vit_setup):
+    """The compiled pp forward moves activations with collective-permutes
+    (inside the schedule loop) and must not all-gather the weight slabs —
+    an all-gather of `stacked` would mean every rank materializes every
+    stage (the exact replication failure tests/test_pallas_gspmd.py pins
+    for GSPMD x pallas)."""
+    cfg, _, vp, _, mask, h0 = vit_setup
+    mesh = make_pipe_mesh(8, pipe=4)
+    stacked = stack_layer_params(vp, "encoder.layers", cfg.num_hidden_layers)
+
+    fn = jax.jit(lambda s, h: pipelined_vit_encoder_stacked(
+        s, cfg, h, mask, mesh, microbatches=2))
+    txt = fn.lower(stacked, h0).compile().as_text()
+    assert txt.count("collective-permute") >= 1, "no pipeline hops compiled"
+    import re
+
+    # weight slabs stay stage-local: no all-gather may touch a stacked
+    # layer shape (leading dim = layers-per-stage x anything model-sized)
+    ags = re.findall(r"all-gather[^\n]*", txt)
+    for line in ags:
+        assert "f32[1," not in line and "f32[4," not in line, line
+
+
+def test_pp_bert_encoder_matches_scan():
+    from autognothi_tpu.models.bert import (
+        VanillaBertConfig,
+        bert_embeddings,
+        bert_encoder,
+        init_bert_classifier,
+    )
+    from autognothi_tpu.models.common import additive_mask_bias
+
+    cfg = VanillaBertConfig(
+        attention_probs_dropout_prob=0.0,
+        explainer_attn_num_layers=1,
+        explainer_head_hidden_size=16,
+        explainer_normalize=True,
+        hidden_dropout_prob=0.0,
+        hidden_size=32,
+        intermediate_size=64,
+        layer_norm_eps=1e-12,
+        max_position_embeddings=16,
+        num_attention_heads=4,
+        num_hidden_layers=4,
+        num_labels=2,
+        pad_token_id=0,
+        type_vocab_size=2,
+        vocab_size=64,
+    )
+    p = subdict(init_bert_classifier(jax.random.PRNGKey(1), cfg), "bert.")
+    rs = np.random.RandomState(3)
+    ids = jnp.asarray(rs.randint(0, 64, (8, 12)))
+    attn = jnp.ones((8, 12), jnp.int32)
+    toktype = jnp.zeros((8, 12), jnp.int32)
+    h0 = bert_embeddings(p, cfg, ids, toktype)
+    bias = additive_mask_bias(attn)
+
+    ref = bert_encoder(p, cfg, h0, bias)
+    mesh = make_pipe_mesh(8, pipe=2)
+    out = pipelined_bert_encoder(p, cfg, h0, bias, mesh, microbatches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pp_fail_closed(vit_setup):
+    cfg, _, vp, _, mask, h0 = vit_setup
+    mesh = make_pipe_mesh(8, pipe=4)
+    cfg3 = _mini_cfg(layers=3)
+    p3 = subdict(init_vit_classifier(jax.random.PRNGKey(0), cfg3), "vit.")
+    with pytest.raises(ValueError, match="divide pipe"):
+        pipelined_vit_encoder(p3, cfg3, h0, mask, mesh, microbatches=2)
+    with pytest.raises(ValueError, match="does not divide"):
+        # batch 8 over data=2 x microbatches=3
+        pipelined_vit_encoder(vp, cfg, h0, mask, mesh, microbatches=3)
+    with pytest.raises(ValueError, match="not divisible by pipe"):
+        make_pipe_mesh(8, pipe=3)
