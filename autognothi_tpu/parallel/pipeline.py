@@ -69,15 +69,19 @@ def pipelined_scan(
     mesh: Mesh,
     *,
     microbatches: int,
+    rng: Optional[jax.Array] = None,
 ):
-    """Run `h = stage_body(slab, h, side_mb, first_layer)` through a GPipe
-    pipeline over the mesh's "pipe" axis.
+    """Run `h = stage_body(slab, h, side_mb, first_layer, mb_rng)` through a
+    GPipe pipeline over the mesh's "pipe" axis.
 
     stage_body applies ONE stage's layers (typically a lax.scan over the
     slab) to a microbatch; `slab` is the stage-local (L/P, ...) slice of
     `stacked`, `side_mb` the microbatch's slice of `side` (per-sample side
     inputs such as coalition masks; pytree or None), `first_layer` the
-    traced global index of the stage's first layer (for rng folding).
+    traced global index of the stage's first layer, and `mb_rng` a key
+    already folded with the GLOBAL microbatch id (data_rank x M + mb) —
+    folding by layer index alone would hand every microbatch and every
+    data rank the same dropout masks (same key, same local shape).
 
     stacked: pytree with leading layer axis L (L % pipe == 0).
     h0: <B, ...> activations; B % (n_data * microbatches) == 0.
@@ -103,6 +107,8 @@ def pipelined_scan(
 
     def per_device(slab, h_loc, side_loc):
         stage = jax.lax.axis_index("pipe")
+        data_rank = (jax.lax.axis_index("data")
+                     if "data" in mesh.axis_names else 0)
         h_mbs = h_loc.reshape(microbatches, mb, *h_loc.shape[1:])
         side_mbs = jax.tree.map(
             lambda s: s.reshape(microbatches, mb, *s.shape[1:]), side_loc)
@@ -121,7 +127,10 @@ def pipelined_scan(
                 lambda s: jax.lax.dynamic_index_in_dim(
                     s, mb_idx, 0, keepdims=False),
                 side_mbs)
-            y = stage_body(slab, x, s_mb, stage * (n_layers // n_pipe))
+            mb_rng = (None if rng is None else jax.random.fold_in(
+                rng, data_rank * microbatches + mb_idx))
+            y = stage_body(slab, x, s_mb, stage * (n_layers // n_pipe),
+                           mb_rng)
             out_idx = t - (n_pipe - 1)
             valid = jnp.logical_and(stage == n_pipe - 1, out_idx >= 0)
             idx = jnp.clip(out_idx, 0, microbatches - 1)
@@ -159,15 +168,19 @@ def pipelined_scan(
 # ------------------------------------------------------------ model adapters
 
 
-def _stage_scanner(layer_body, n_local: int, rng):
-    """Wrap a per-layer body into a stage body scanning its local slab."""
+def _stage_scanner(layer_body, n_local: int):
+    """Wrap a per-layer body into a stage body scanning its local slab.
+    The per-layer key folds the global layer index into `mb_rng`, which
+    pipelined_scan already folded with the global microbatch id — together
+    the draw is unique per (layer, microbatch, data rank), matching the
+    sequential encoders' iid-per-sample dropout."""
     from ..models.common import maybe_remat
 
-    def stage_body(slab, x, side, first_layer):
+    def stage_body(slab, x, side, first_layer, mb_rng):
         def body(carry, xs):
             layer, local_idx = xs
-            layer_rng = (None if rng is None
-                         else jax.random.fold_in(rng, first_layer + local_idx))
+            layer_rng = (None if mb_rng is None else jax.random.fold_in(
+                mb_rng, first_layer + local_idx))
             return layer_body(layer, carry, side, layer_rng), None
 
         x, _ = jax.lax.scan(maybe_remat(body), x, (slab, jnp.arange(n_local)))
@@ -208,8 +221,9 @@ def pipelined_vit_encoder_stacked(
                                deterministic=deterministic, rng=layer_rng)
 
     n_local = cfg.num_hidden_layers // mesh.shape["pipe"]
-    return pipelined_scan(_stage_scanner(layer_body, n_local, rng),
-                          stacked, h, mask, mesh, microbatches=microbatches)
+    return pipelined_scan(_stage_scanner(layer_body, n_local),
+                          stacked, h, mask, mesh, microbatches=microbatches,
+                          rng=rng)
 
 
 def pipelined_bert_encoder(
@@ -235,9 +249,9 @@ def pipelined_bert_encoder(
                                 deterministic=deterministic, rng=layer_rng)
 
     n_local = cfg.num_hidden_layers // mesh.shape["pipe"]
-    return pipelined_scan(_stage_scanner(layer_body, n_local, rng),
+    return pipelined_scan(_stage_scanner(layer_body, n_local),
                           stacked, h, mask_bias, mesh,
-                          microbatches=microbatches)
+                          microbatches=microbatches, rng=rng)
 
 
 # ------------------------------------------------- stage-sharded training
@@ -258,7 +272,13 @@ def split_encoder_params(
         raise ValueError(f"split_encoder_params: no params under {prefix!r}")
     stacked = {}
     for s in suffixes:
-        v = jnp.stack([params[f"{prefix}.{i}.{s}"] for i in range(n_layers)])
+        # host-side np.stack, then ONE sharded transfer: device_put of a
+        # host array against P("pipe", ...) ships each rank only its L/P
+        # slab.  NOT models.common.stack_layer_params: its jnp.stack would
+        # materialize the full depth on a single device first, breaking the
+        # 1/P init-memory model pp exists for.
+        v = np.stack([np.asarray(params[f"{prefix}.{i}.{s}"])
+                      for i in range(n_layers)])
         stacked[s] = jax.device_put(
             v, NamedSharding(mesh, P("pipe", *([None] * (v.ndim - 1)))))
     rest = {
@@ -296,9 +316,19 @@ def make_pp_classifier_train_step(cfg, tx, mesh: Mesh, *, microbatches: int):
     "pipe" and the batch sharded along "data" — the full-training-step pp
     contract the dryrun validates."""
 
+    from ..models.common import quant_override
+    from .train_step import mesh_safe_pallas
+
     def loss_fn(rest, stacked, pixels, mask, labels):
-        probs = pp_vit_classifier_fwd(rest, stacked, cfg, pixels, mask,
-                                      mesh, microbatches=microbatches)
+        # same discipline as every trainer loss (parallel/train_step.py):
+        # the DIFFERENTIATED forward pins quant off (an exported
+        # AUTOGNOTHI_INT8 would quantize the fwd while the custom_vjp
+        # recomputes bf16 — gradients of a different function than the
+        # loss) and pallas off (trainer convention for traced model
+        # regions)
+        with mesh_safe_pallas(), quant_override("none"):
+            probs = pp_vit_classifier_fwd(rest, stacked, cfg, pixels, mask,
+                                          mesh, microbatches=microbatches)
         logp = jnp.log(jnp.clip(probs, 1e-9, None))
         return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
 

@@ -242,6 +242,63 @@ def test_pp_bert_encoder_matches_scan():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_pp_dropout_iid_across_microbatches_and_ranks():
+    """Stochastic pp forwards must draw per-(layer, microbatch, data rank)
+    dropout keys: folding by layer index alone hands every microbatch and
+    every data rank identical masks (same key, same local shape), silently
+    correlating the regularization noise.  With 8 identical input rows on a
+    (data=2, pipe=2) x microbatches=2 layout, rows landing in different
+    microbatches (0 vs 2) and different data ranks (0 vs 4) must differ,
+    and re-running with the same key must reproduce exactly."""
+    cfg = _mini_cfg().model_copy(update={"hidden_dropout_prob": 0.3})
+    p = init_vit_classifier(jax.random.PRNGKey(0), cfg)
+    vp = subdict(p, "vit.")
+    rs = np.random.RandomState(7)
+    one = rs.randn(1, 3, 16, 16).astype(np.float32)
+    pixels = jnp.asarray(np.repeat(one, 8, axis=0))
+    mask = jnp.ones((8, cfg.n_patches + 1), jnp.float32)
+    h0 = vit_embeddings(vp, cfg, pixels)
+    mesh = make_pipe_mesh(4, pipe=2)  # data=2: rows 0-3 rank0, 4-7 rank1
+    rng = jax.random.PRNGKey(11)
+
+    out = pipelined_vit_encoder(vp, cfg, h0, mask, mesh, microbatches=2,
+                                deterministic=False, rng=rng)
+    out = np.asarray(out)
+    assert not np.allclose(out[0], out[2]), "microbatches share dropout masks"
+    assert not np.allclose(out[0], out[4]), "data ranks share dropout masks"
+    out2 = np.asarray(pipelined_vit_encoder(
+        vp, cfg, h0, mask, mesh, microbatches=2,
+        deterministic=False, rng=rng))
+    np.testing.assert_array_equal(out, out2)  # keyed, not stateful
+
+
+def test_pp_train_step_pins_pallas_and_quant(vit_setup, monkeypatch):
+    """The pp train step's differentiated forward follows the trainer
+    discipline (parallel/train_step.py): pallas and quant pinned off at
+    trace time.  With AUTOGNOTHI_PALLAS=2 + INTERPRET=1 exported (the CI
+    kernel-dispatch knob) an unpinned loss would trace the interpret-mode
+    fused kernels, whose in-kernel erf differs from XLA's gelu — exact
+    equality with the default-env loss proves the pin."""
+    cfg, p, _, pixels, _, _ = vit_setup
+    mesh = make_pipe_mesh(8, pipe=2)
+    rest, stacked = split_encoder_params(p, cfg.num_hidden_layers, mesh)
+    tx = optax.adamw(1e-3)
+    step = make_pp_classifier_train_step(cfg, tx, mesh, microbatches=2)
+    rs = np.random.RandomState(5)
+    labels = jnp.asarray(rs.randint(0, cfg.num_labels, (8,)))
+    ones = jnp.ones((8, cfg.n_patches + 1), jnp.float32)
+
+    _, _, _, ref = step(rest, stacked, tx.init((rest, stacked)),
+                        pixels, ones, labels)
+    monkeypatch.setenv("AUTOGNOTHI_PALLAS", "2")
+    monkeypatch.setenv("AUTOGNOTHI_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("AUTOGNOTHI_INT8", "1")
+    step2 = make_pp_classifier_train_step(cfg, tx, mesh, microbatches=2)
+    _, _, _, pinned = step2(rest, stacked, tx.init((rest, stacked)),
+                            pixels, ones, labels)
+    assert float(ref) == float(pinned), (float(ref), float(pinned))
+
+
 def test_pp_fail_closed(vit_setup):
     cfg, _, vp, _, mask, h0 = vit_setup
     mesh = make_pipe_mesh(8, pipe=4)
