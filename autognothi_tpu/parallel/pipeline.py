@@ -238,20 +238,13 @@ def pipelined_bert_encoder(
     rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Drop-in pipelined models/bert.bert_encoder (flat `bert.` params)."""
-    from ..models.bert import _bert_layer_body
     from ..models.common import stack_layer_params
 
     stacked = stack_layer_params(p, "encoder.layers", cfg.num_hidden_layers,
                                  dtype=h.dtype)
-
-    def layer_body(layer, x, side, layer_rng):
-        return _bert_layer_body(layer, x, side, cfg, ident_ln1=False,
-                                deterministic=deterministic, rng=layer_rng)
-
-    n_local = cfg.num_hidden_layers // mesh.shape["pipe"]
-    return pipelined_scan(_stage_scanner(layer_body, n_local),
-                          stacked, h, mask_bias, mesh,
-                          microbatches=microbatches, rng=rng)
+    return pipelined_bert_encoder_stacked(
+        stacked, cfg, h, mask_bias, mesh,
+        microbatches=microbatches, deterministic=deterministic, rng=rng)
 
 
 # ------------------------------------------------- stage-sharded training
@@ -307,6 +300,41 @@ def pp_vit_classifier_fwd(
     logits = dense(h[:, 0, :], rest["classifier.weight"].astype(h.dtype),
                    rest["classifier.bias"].astype(h.dtype))
     return jax.nn.softmax(logits, axis=-1)
+
+
+def pp_bert_classifier_fwd(
+    rest: Params, stacked: Params, cfg, input_ids: jax.Array,
+    attention_mask: jax.Array, token_type_ids: jax.Array, mesh: Mesh, *,
+    microbatches: int,
+) -> jax.Array:
+    """models/bert.bert_classifier_fwd with the encoder pipelined (the text
+    track's counterpart of pp_vit_classifier_fwd; split the flat params
+    with prefix="bert.encoder.layers").  -> <B, n_classes> softmax."""
+    from ..models.bert import _cls_head, bert_embeddings
+    from ..models.common import additive_mask_bias, subdict
+
+    bp = subdict(rest, "bert.")
+    h = bert_embeddings(bp, cfg, input_ids, token_type_ids)
+    bias = additive_mask_bias(attention_mask, h.dtype)
+    h = pipelined_bert_encoder_stacked(stacked, cfg, h, bias, mesh,
+                                       microbatches=microbatches)
+    return _cls_head(rest, h, cfg, deterministic=True, rng=None)
+
+
+def pipelined_bert_encoder_stacked(
+    stacked: Params, cfg, h, mask_bias, mesh, *,
+    microbatches: int, deterministic: bool = True, rng=None,
+) -> jax.Array:
+    from ..models.bert import _bert_layer_body
+
+    def layer_body(layer, x, side, layer_rng):
+        return _bert_layer_body(layer, x, side, cfg, ident_ln1=False,
+                                deterministic=deterministic, rng=layer_rng)
+
+    n_local = cfg.num_hidden_layers // mesh.shape["pipe"]
+    return pipelined_scan(_stage_scanner(layer_body, n_local),
+                          stacked, h, mask_bias, mesh,
+                          microbatches=microbatches, rng=rng)
 
 
 def make_pp_classifier_train_step(cfg, tx, mesh: Mesh, *, microbatches: int):

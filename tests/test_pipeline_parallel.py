@@ -135,6 +135,10 @@ def test_pp_classifier_train_step_stage_sharded(vit_setup):
     rest, stacked = split_encoder_params(p, cfg.num_hidden_layers, mesh)
     spec = stacked["attention.self.query.weight"].sharding.spec
     assert spec[0] == "pipe", spec
+    # the 1/P per-rank depth-memory claim, measured on the actual shards
+    leaf = stacked["attention.self.query.weight"]
+    local = leaf.addressable_shards[0].data.shape
+    assert local[0] == cfg.num_hidden_layers // 2, local
 
     tx = optax.adamw(1e-3)
     opt_state = tx.init((rest, stacked))
@@ -201,16 +205,10 @@ def test_pp_collective_shape(vit_setup):
         assert "f32[1," not in line and "f32[4," not in line, line
 
 
-def test_pp_bert_encoder_matches_scan():
-    from autognothi_tpu.models.bert import (
-        VanillaBertConfig,
-        bert_embeddings,
-        bert_encoder,
-        init_bert_classifier,
-    )
-    from autognothi_tpu.models.common import additive_mask_bias
+def _mini_bert_cfg():
+    from autognothi_tpu.models.bert import VanillaBertConfig
 
-    cfg = VanillaBertConfig(
+    return VanillaBertConfig(
         attention_probs_dropout_prob=0.0,
         explainer_attn_num_layers=1,
         explainer_head_hidden_size=16,
@@ -227,6 +225,17 @@ def test_pp_bert_encoder_matches_scan():
         type_vocab_size=2,
         vocab_size=64,
     )
+
+
+def test_pp_bert_encoder_matches_scan():
+    from autognothi_tpu.models.bert import (
+        bert_embeddings,
+        bert_encoder,
+        init_bert_classifier,
+    )
+    from autognothi_tpu.models.common import additive_mask_bias
+
+    cfg = _mini_bert_cfg()
     p = subdict(init_bert_classifier(jax.random.PRNGKey(1), cfg), "bert.")
     rs = np.random.RandomState(3)
     ids = jnp.asarray(rs.randint(0, 64, (8, 12)))
@@ -239,6 +248,32 @@ def test_pp_bert_encoder_matches_scan():
     mesh = make_pipe_mesh(8, pipe=2)
     out = pipelined_bert_encoder(p, cfg, h0, bias, mesh, microbatches=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pp_bert_classifier_fwd_parity():
+    """Text-track pp classifier (pp_bert_classifier_fwd) vs the sequential
+    bert_classifier_fwd, with stage-sharded weights."""
+    from autognothi_tpu.models.bert import (
+        bert_classifier_fwd,
+        init_bert_classifier,
+    )
+    from autognothi_tpu.parallel.pipeline import pp_bert_classifier_fwd
+
+    cfg = _mini_bert_cfg()
+    p = init_bert_classifier(jax.random.PRNGKey(4), cfg)
+    rs = np.random.RandomState(6)
+    ids = jnp.asarray(rs.randint(0, 64, (8, 12)))
+    attn = jnp.ones((8, 12), jnp.int32)
+    toktype = jnp.zeros((8, 12), jnp.int32)
+
+    mesh = make_pipe_mesh(8, pipe=4)
+    rest, stacked = split_encoder_params(
+        p, cfg.num_hidden_layers, mesh, prefix="bert.encoder.layers")
+    probs = pp_bert_classifier_fwd(rest, stacked, cfg, ids, attn, toktype,
+                                   mesh, microbatches=2)
+    ref, _ = bert_classifier_fwd(p, cfg, ids, attn, toktype)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
 
 
