@@ -34,7 +34,8 @@ data shard replicated across "pipe"), so an N-device mesh splits
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+import os
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..recipes.types import Params
 from .mesh import _smap
+
+
+def pp_config_from_env() -> Optional[Tuple[int, int]]:
+    """Opt-in trainer pipeline parallelism: AUTOGNOTHI_PP=P (>= 2) ->
+    (P, microbatches), with AUTOGNOTHI_PP_MICROBATCHES tuning the GPipe
+    microbatch count (default P — bubble fraction (P-1)/(2P-1)).  Unset,
+    0 or 1 -> None (the sequential trainer path)."""
+    raw = os.environ.get("AUTOGNOTHI_PP", "").strip()
+    if raw in ("", "0", "1"):
+        return None
+    pipe = int(raw)
+    mb = int(os.environ.get("AUTOGNOTHI_PP_MICROBATCHES", str(pipe)))
+    if pipe < 2 or mb < 1:
+        raise ValueError(
+            f"AUTOGNOTHI_PP={pipe} / AUTOGNOTHI_PP_MICROBATCHES={mb}: "
+            "pipe must be >= 2 and microbatches >= 1")
+    return pipe, mb
 
 
 def make_pipe_mesh(n_devices: Optional[int] = None, pipe: int = 2) -> Mesh:
@@ -281,20 +299,45 @@ def split_encoder_params(
     return rest, stacked
 
 
+def merge_encoder_params(
+    rest: Params, stacked: Params, n_layers: int,
+    prefix: str = "vit.encoder.layers",
+) -> Params:
+    """Inverse of split_encoder_params: unstack the stage-sharded slabs back
+    into per-layer flat keys (host arrays).  Keeps pp checkpoints in the
+    same flat-dict format every other consumer (resume, conversions,
+    export, migration) reads — pp is invisible on disk."""
+    out = dict(rest)
+    for s, v in stacked.items():
+        host = np.asarray(v)  # gathers the stack: ckpt writes are host-side
+        for i in range(n_layers):
+            out[f"{prefix}.{i}.{s}"] = host[i]
+    return out
+
+
 def pp_vit_classifier_fwd(
     rest: Params, stacked: Params, cfg, pixels: jax.Array,
     mask: Optional[jax.Array], mesh: Mesh, *, microbatches: int,
+    deterministic: bool = True, rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """models/vit.vit_classifier_fwd with the encoder pipelined: embeddings
     and head run GSPMD-sharded on the same mesh; the 12-layer trunk runs
-    stage-sharded.  -> <B, n_classes> softmax probabilities."""
+    stage-sharded.  -> <B, n_classes> softmax probabilities.
+
+    Rng fold tags mirror vit_backbone (10 = embeddings, 11 = encoder);
+    inside the pipeline the per-layer keys additionally fold the global
+    microbatch id (pipelined_scan), so dropout draws are iid but NOT
+    bit-identical to the sequential scan's."""
     from ..models.common import dense, layer_norm, subdict
-    from ..models.vit import vit_embeddings
+    from ..models.vit import _rng, vit_embeddings
 
     vp = subdict(rest, "vit.")
-    h = vit_embeddings(vp, cfg, pixels)
+    h = vit_embeddings(vp, cfg, pixels, deterministic=deterministic,
+                       rng=_rng(rng, 10))
     h = pipelined_vit_encoder_stacked(stacked, cfg, h, mask, mesh,
-                                      microbatches=microbatches)
+                                      microbatches=microbatches,
+                                      deterministic=deterministic,
+                                      rng=_rng(rng, 11))
     h = layer_norm(h, vp["layernorm.weight"], vp["layernorm.bias"],
                    cfg.layer_norm_eps)
     logits = dense(h[:, 0, :], rest["classifier.weight"].astype(h.dtype),
@@ -306,19 +349,25 @@ def pp_bert_classifier_fwd(
     rest: Params, stacked: Params, cfg, input_ids: jax.Array,
     attention_mask: jax.Array, token_type_ids: jax.Array, mesh: Mesh, *,
     microbatches: int,
+    deterministic: bool = True, rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """models/bert.bert_classifier_fwd with the encoder pipelined (the text
     track's counterpart of pp_vit_classifier_fwd; split the flat params
-    with prefix="bert.encoder.layers").  -> <B, n_classes> softmax."""
-    from ..models.bert import _cls_head, bert_embeddings
+    with prefix="bert.encoder.layers").  -> <B, n_classes> softmax.
+    Rng fold tags mirror bert_backbone/_cls_head (10 / 11 / head-internal
+    30); see pp_vit_classifier_fwd on per-layer key derivation."""
+    from ..models.bert import _cls_head, _rng, bert_embeddings
     from ..models.common import additive_mask_bias, subdict
 
     bp = subdict(rest, "bert.")
-    h = bert_embeddings(bp, cfg, input_ids, token_type_ids)
+    h = bert_embeddings(bp, cfg, input_ids, token_type_ids,
+                        deterministic=deterministic, rng=_rng(rng, 10))
     bias = additive_mask_bias(attention_mask, h.dtype)
     h = pipelined_bert_encoder_stacked(stacked, cfg, h, bias, mesh,
-                                       microbatches=microbatches)
-    return _cls_head(rest, h, cfg, deterministic=True, rng=None)
+                                       microbatches=microbatches,
+                                       deterministic=deterministic,
+                                       rng=_rng(rng, 11))
+    return _cls_head(rest, h, cfg, deterministic=deterministic, rng=rng)
 
 
 def pipelined_bert_encoder_stacked(

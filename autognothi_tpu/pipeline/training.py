@@ -250,12 +250,12 @@ def cosine_lr(base_lr: float, epoch: int, total_epochs: int) -> float:
     return base_lr * (1 + math.cos(math.pi * t / total_epochs)) / 2
 
 
-def make_optimizer(
-    params: Params, trainable: Callable[[str], bool]
+def make_optimizer_labeled(
+    params_tree: Any, labels_tree: Any
 ) -> Tuple[optax.GradientTransformation, Any]:
-    """AdamW over the trainable subset (others frozen hard); lr injected
-    per step via optax.tree_utils.tree_set."""
-    labels = {k: ("train" if trainable(k) else "freeze") for k in params}
+    """AdamW multi_transform over an explicit "train"/"freeze" label pytree
+    matching `params_tree`'s structure — the generic core of make_optimizer
+    for non-dict param containers (the pp trainer's (rest, stacked) pair)."""
     tx = optax.multi_transform(
         {
             "train": optax.inject_hyperparams(optax.adamw)(
@@ -267,13 +267,24 @@ def make_optimizer(
             ),
             "freeze": optax.set_to_zero(),
         },
-        labels,
+        labels_tree,
     )
-    return tx, tx.init(params)
+    return tx, tx.init(params_tree)
 
 
-def ones_mask(params: Params) -> Dict[str, jax.Array]:
-    return {k: jnp.ones(()) for k in params}
+def make_optimizer(
+    params: Params, trainable: Callable[[str], bool]
+) -> Tuple[optax.GradientTransformation, Any]:
+    """AdamW over the trainable subset (others frozen hard); lr injected
+    per step via optax.tree_utils.tree_set."""
+    labels = {k: ("train" if trainable(k) else "freeze") for k in params}
+    return make_optimizer_labeled(params, labels)
+
+
+def ones_mask(params: Any) -> Any:
+    """All-ones update mask matching any params container (flat dict, or
+    the pp trainer's (rest, stacked) pair)."""
+    return jax.tree.map(lambda _: jnp.ones(()), params)
 
 
 def filter_mask(params: Params, keep: Callable[[str], bool]) -> Dict[str, jax.Array]:

@@ -1,0 +1,177 @@
+"""Opt-in pipeline-parallel classifier training (AUTOGNOTHI_PP).
+
+The full fine-tune path (pretrain_classifier / unfreeze_all) runs with the
+encoder depth stage-sharded over a ("data", "pipe") mesh and must land on
+the same checkpoint as the sequential trainer (the mini configs train
+dropout-free, so the runs differ only by program structure), resume through
+the flat-dict checkpoint contract, and fail closed on bad knobs.
+"""
+
+import copy
+import json
+import pathlib
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from tests.test_train_all_e2e import MINI_VIT_HPARAMS
+
+
+def _mk_exp(root: pathlib.Path, name: str, hparams: dict) -> pathlib.Path:
+    exp = root / name
+    exp.mkdir(parents=True)
+    (exp / ".hparams.json").write_text(json.dumps(hparams, indent=2))
+    return exp
+
+
+def _vit_hparams(epochs: int = 2, batch_size: int = 8) -> dict:
+    hp = copy.deepcopy(MINI_VIT_HPARAMS)
+    hp["train_classifier"] = {
+        "epochs": epochs, "ckpt_when": "_:%1==0", "lr": 1e-3,
+        "batch_size": batch_size,
+    }
+    return hp
+
+
+def _train(exp: pathlib.Path, monkeypatch, pp=None) -> None:
+    from autognothi_tpu.pipeline.env import ExpEnv
+    from autognothi_tpu.pipeline.train_all import conv_pretrained_classifier
+    from autognothi_tpu.pipeline.train_classifier import train_classifier
+
+    if pp is None:
+        monkeypatch.delenv("AUTOGNOTHI_PP", raising=False)
+    else:
+        monkeypatch.setenv("AUTOGNOTHI_PP", str(pp))
+    env = ExpEnv(exp)
+    if not (exp / "classifier-epoch-0.ckpt").exists():
+        conv_pretrained_classifier(env)
+    train_classifier(env, unfreeze_all=True)
+    monkeypatch.delenv("AUTOGNOTHI_PP", raising=False)
+
+
+def _load(exp: pathlib.Path, epoch: int) -> dict:
+    from autognothi_tpu.pipeline.resources import load_params_file
+
+    return load_params_file(exp / f"classifier-epoch-{epoch}.ckpt")
+
+
+def _assert_params_close(a: dict, b: dict) -> None:
+    # Forward and grads agree to float-assoc noise (the logged per-batch
+    # losses match to 6-7 digits in both runs), but Adam's m/(sqrt(v)+eps)
+    # normalization amplifies that noise to a fraction of one lr-sized
+    # (1e-3) update per step (measured: up to ~2e-4 after 3 steps).  A
+    # schedule bug (wrong microbatch order, dropped stage, stale slab)
+    # perturbs the LOSS, so it diverges at full update scale (>=1e-3/step)
+    # and still fails at this tolerance.
+    for k in sorted(a):
+        np.testing.assert_allclose(
+            np.asarray(b[k]), np.asarray(a[k]), rtol=5e-3, atol=5e-4,
+            err_msg=k)
+
+
+def test_pp_trainer_vit_matches_sequential(tmp_path, monkeypatch):
+    """Same seed, same data: the pp fine-tune must reproduce the sequential
+    trainer's checkpoint (dropout 0 -> the only differences are float
+    association inside the pipelined vs scanned encoder)."""
+    hp = _vit_hparams(epochs=2)
+    seq = _mk_exp(tmp_path, "seq", hp)
+    ppd = _mk_exp(tmp_path, "pp", hp)
+
+    _train(seq, monkeypatch, pp=None)
+    _train(ppd, monkeypatch, pp=2)
+
+    a, b = _load(seq, 2), _load(ppd, 2)
+    assert set(a) == set(b)  # pp is invisible on disk: same flat keys
+    _assert_params_close(a, b)
+
+
+def test_pp_trainer_bert_matches_sequential(tmp_path, monkeypatch):
+    """Text track through pp_bert_classifier_fwd."""
+    import autognothi_tpu.data.loader as dl
+    from autognothi_tpu.data.tokenizer import WordPieceTokenizer, build_vocab
+    from tests.test_bert_e2e import make_bert_hparams
+
+    samples = json.loads(
+        (pathlib.Path(dl.__file__).parent / "nlp_samples.json").read_text())
+    vocab = build_vocab([s["inputs"] for s in samples], max_size=400)
+    hp = make_bert_hparams(len(vocab))
+    hp["train_classifier"] = {
+        "epochs": 1, "ckpt_when": "_:%1==0", "lr": 1e-3, "batch_size": 8,
+    }
+
+    dirs = {}
+    for name in ("seq", "pp"):
+        exp = _mk_exp(tmp_path, name, hp)
+        WordPieceTokenizer(vocab).save(exp / "tokenizer")
+        dirs[name] = exp
+
+    _train(dirs["seq"], monkeypatch, pp=None)
+    _train(dirs["pp"], monkeypatch, pp=2)
+
+    a, b = _load(dirs["seq"], 1), _load(dirs["pp"], 1)
+    assert set(a) == set(b)
+    _assert_params_close(a, b)
+
+
+def test_pp_trainer_resume_from_flat_ckpt(tmp_path, monkeypatch):
+    """A pp run resumes from the flat epoch checkpoint (re-split on load) —
+    and matches a sequential run resumed at the same boundary.  Both
+    references are interrupted-and-resumed: resume rebuilds Adam moments
+    from zero (reference behavior, SURVEY §2.5), so an uninterrupted run is
+    NOT the right comparison."""
+    hp1, hp2 = _vit_hparams(epochs=1), _vit_hparams(epochs=2)
+    dirs = {}
+    for name, pp in (("pp", 2), ("seq", None)):
+        exp = _mk_exp(tmp_path, name, hp1)
+        _train(exp, monkeypatch, pp=pp)
+        assert (exp / "classifier-epoch-1.ckpt").exists()
+        (exp / ".hparams.json").write_text(json.dumps(hp2, indent=2))
+        _train(exp, monkeypatch, pp=pp)  # resumes at epoch 2
+        dirs[name] = exp
+
+    a, b = _load(dirs["seq"], 2), _load(dirs["pp"], 2)
+    assert set(a) == set(b)
+    _assert_params_close(a, b)
+
+
+def test_pp_fail_closed():
+    from autognothi_tpu.pipeline.train_classifier import _setup_pp
+
+    env = SimpleNamespace(log=lambda *_: None)
+
+    def cfg(kind, bs=8):
+        return SimpleNamespace(
+            net=SimpleNamespace(kind=kind),
+            train_classifier=SimpleNamespace(batch_size=bs))
+
+    with pytest.raises(ValueError, match="unsupported net kind"):
+        _setup_pp(env, cfg("ltt_vit"), None, {}, lambda n: True, 2, 2)
+
+    m_cfg = SimpleNamespace(num_hidden_layers=2)
+    with pytest.raises(ValueError, match="does not divide"):
+        _setup_pp(env, cfg("vanilla_vit"), m_cfg, {}, lambda n: True, 3, 2)
+
+    # 8 devices / pipe 2 -> data 4; 4 % (4 x 2) != 0
+    with pytest.raises(ValueError, match="batch_size=4"):
+        _setup_pp(env, cfg("vanilla_vit", bs=4), m_cfg, {},
+                  lambda n: True, 2, 2)
+
+
+def test_pp_env_parse(monkeypatch):
+    from autognothi_tpu.parallel.pipeline import pp_config_from_env
+
+    for off in (None, "", "0", "1"):
+        if off is None:
+            monkeypatch.delenv("AUTOGNOTHI_PP", raising=False)
+        else:
+            monkeypatch.setenv("AUTOGNOTHI_PP", off)
+        assert pp_config_from_env() is None
+
+    monkeypatch.setenv("AUTOGNOTHI_PP", "2")
+    assert pp_config_from_env() == (2, 2)  # microbatches default to pipe
+    monkeypatch.setenv("AUTOGNOTHI_PP_MICROBATCHES", "4")
+    assert pp_config_from_env() == (2, 4)
+    monkeypatch.setenv("AUTOGNOTHI_PP_MICROBATCHES", "0")
+    with pytest.raises(ValueError):
+        pp_config_from_env()
