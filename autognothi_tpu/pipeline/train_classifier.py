@@ -70,9 +70,11 @@ def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
 
     pp_cfg = pp_config_from_env()
     if pp_cfg is not None:
+        from .pp_trainer import setup_pp_classifier
+
         (params, tx, opt_state, step, eval_fwd, place_batch,
-         to_flat) = _setup_pp(env, config, m_config, params, trainable,
-                              *pp_cfg)
+         to_flat) = setup_pp_classifier(env, config, m_config, params,
+                                        trainable, *pp_cfg)
     else:
         from ..parallel.mesh import setup_data_parallel
 
@@ -203,126 +205,3 @@ def train_classifier(env: ExpEnv, unfreeze_all: bool = False) -> None:
                            opt_state=opt_state):
             env.flush_cfg()
 
-
-def _setup_pp(env: ExpEnv, config, m_config, params, trainable,
-              pipe: int, microbatches: int):
-    """AUTOGNOTHI_PP=P: train the classifier with the encoder depth
-    stage-sharded over a ("data", "pipe") mesh (parallel/pipeline.py).
-    The full fine-tune path (pretrain_classifier / unfreeze_all) is where
-    pp pays: gradients + Adam moments over the whole depth dominate memory
-    and pp holds 1/P of them per rank.  Vanilla tracks only — the
-    LTT/froyo/duo classifier stages train heads against a frozen trunk,
-    so there is no depth-proportional optimizer state to split.
-
-    Checkpoints stay flat dicts (`to_flat` merges the slabs back), so
-    resume, conversions, export and migration are pp-oblivious.  Dropout
-    keys fold per (layer, microbatch, data-rank) inside the pipeline, so a
-    dropout>0 run is statistically equivalent but not bit-identical to the
-    sequential trainer (mini configs train dropout-free — exact parity is
-    pinned by tests/test_train_pp.py).
-
-    Returns (params=(rest, stacked), tx, opt_state, step, eval_fwd,
-    place_batch, to_flat) — step/eval keep the sequential signatures, so
-    the epoch loop above is parallelism-agnostic."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from ..parallel.pipeline import (
-        make_pipe_mesh,
-        merge_encoder_params,
-        pp_bert_classifier_fwd,
-        pp_vit_classifier_fwd,
-        split_encoder_params,
-    )
-    from .training import make_optimizer_labeled
-
-    kind = config.net.kind
-    if kind not in ("vanilla_vit", "vanilla_bert"):
-        raise ValueError(
-            f"AUTOGNOTHI_PP: unsupported net kind {kind!r} — pipeline "
-            "parallelism covers the vanilla classifier tracks; the other "
-            "recipes train heads against a frozen trunk and have no "
-            "depth-proportional optimizer state to stage-shard")
-    n_layers = m_config.num_hidden_layers
-    if n_layers % pipe != 0:
-        raise ValueError(
-            f"AUTOGNOTHI_PP={pipe} does not divide "
-            f"num_hidden_layers={n_layers}")
-    mesh = make_pipe_mesh(pipe=pipe)
-    n_data = mesh.shape["data"]
-    bs = config.train_classifier.batch_size
-    if bs % (n_data * microbatches) != 0:
-        raise ValueError(
-            f"AUTOGNOTHI_PP: batch_size={bs} does not divide "
-            f"data={n_data} x microbatches={microbatches} — pad_batch pads "
-            "every batch to batch_size, the one static shape the GPipe "
-            "schedule sees")
-    track = "vit" if kind == "vanilla_vit" else "bert"
-    prefix = f"{track}.encoder.layers"
-    env.log(f"[[[ pipeline-parallel: {n_data} data x {pipe} pipe, "
-            f"{microbatches} microbatches, {n_layers // pipe} layers/stage ]]]")
-    rest, stacked = split_encoder_params(params, n_layers, mesh,
-                                         prefix=prefix)
-    params = (rest, stacked)
-
-    def label(name: str) -> str:
-        return "train" if trainable(name) else "freeze"
-
-    stacked_labels = {}
-    for s in stacked:
-        labs = {label(f"{prefix}.{i}.{s}") for i in range(n_layers)}
-        if len(labs) != 1:
-            raise ValueError(
-                f"AUTOGNOTHI_PP: trainability differs across layers for "
-                f"{prefix}.*.{s} — a stage-sharded stack carries ONE "
-                "optimizer label per weight")
-        stacked_labels[s] = labs.pop()
-    tx, opt_state = make_optimizer_labeled(
-        params, ({k: label(k) for k in rest}, stacked_labels))
-
-    if kind == "vanilla_vit":
-        from ..recipes.vanilla_vit import fw_xs_preprocess
-
-        def fwd(p, xs, mask, *, deterministic, rng):
-            xs, mask = fw_xs_preprocess(xs, mask)
-            return pp_vit_classifier_fwd(
-                p[0], p[1], m_config, xs, mask, mesh,
-                microbatches=microbatches, deterministic=deterministic,
-                rng=rng)
-    else:
-        from ..recipes.vanilla_bert import fw_xs_preprocess
-
-        def fwd(p, xs, mask, *, deterministic, rng):
-            ids, mask, ttype = fw_xs_preprocess(xs, mask)
-            return pp_bert_classifier_fwd(
-                p[0], p[1], m_config, ids, mask, ttype, mesh,
-                microbatches=microbatches, deterministic=deterministic,
-                rng=rng)
-
-    def loss_fn(p, xs, mask, labels, rng, ltt_active, weights):
-        # same trainer discipline as the sequential path: quant + pallas
-        # pinned off in the differentiated forward
-        with mesh_safe_pallas(), quant_override("none"):
-            probs = fwd(p, xs, mask, deterministic=False, rng=rng)
-        return cross_entropy_on_probs(probs, labels, weights), probs
-
-    step = make_train_step(tx, loss_fn)
-
-    def _eval(p, xs, mask, labels, weights, ltt_active):
-        with mesh_safe_pallas(), quant_override("none"):
-            probs = fwd(p, xs, mask, deterministic=True, rng=None)
-        return probs, cross_entropy_on_probs(probs, labels, weights)
-
-    def place_batch(tree):
-        def place(x):
-            x = jnp.asarray(x)
-            spec = (P("data", *([None] * (x.ndim - 1)))
-                    if x.ndim and x.shape[0] % n_data == 0
-                    else P(*([None] * x.ndim)))
-            return jax.device_put(x, NamedSharding(mesh, spec))
-
-        return jax.tree.map(place, tree)
-
-    def to_flat(p):
-        return merge_encoder_params(p[0], p[1], n_layers, prefix)
-
-    return params, tx, opt_state, step, jax.jit(_eval), place_batch, to_flat

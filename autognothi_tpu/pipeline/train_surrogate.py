@@ -59,60 +59,76 @@ def train_surrogate(env: ExpEnv) -> None:
         env.log("[[[ surrogate already trained ]]]")
         return
 
-    from ..parallel.mesh import setup_data_parallel
-
-    mesh, place_params, place_batch = setup_data_parallel()
-    if mesh is not None:
-        env.log(f"[[[ data-parallel over {mesh.devices.size} devices ]]]")
-        params = place_params(params)
-        cls_params = place_params(cls_params)
-
-    tx, opt_state = make_optimizer(params, recipe.trainable(m_config, "surrogate"))
-    # exact resume (AUTOGNOTHI_CKPT_OPT=1): reload Adam moments saved at
-    # the resume epoch; no-op otherwise (reference rebuilds from zero)
-    opt_state = maybe_restore_opt_state(
-        env.model_path, "surrogate", epoch_start, opt_state)
-
     is_ltt = recipe.progressive_trainable is not None
     full_depth = getattr(m_config, "num_hidden_layers", 0)
 
     def _ltt_kw(ltt_active):
         return {"ltt_active_layers": ltt_active} if is_ltt else {}
 
+    from ..parallel.pipeline import pp_config_from_env
+
+    pp_cfg = pp_config_from_env()
+    if pp_cfg is not None:
+        from .pp_trainer import setup_pp_surrogate
+
+        (params, cls_params, tx, opt_state, step, eval_fwd, place_batch,
+         to_flat) = setup_pp_surrogate(
+            env, config, m_config, params, cls_params,
+            recipe.trainable(m_config, "surrogate"), *pp_cfg)
+    else:
+        from ..parallel.mesh import setup_data_parallel
+
+        mesh, place_params, place_batch = setup_data_parallel()
+        if mesh is not None:
+            env.log(f"[[[ data-parallel over {mesh.devices.size} devices ]]]")
+            params = place_params(params)
+            cls_params = place_params(cls_params)
+
+        tx, opt_state = make_optimizer(
+            params, recipe.trainable(m_config, "surrogate"))
+
+        def loss_fn(p, xs, mask, orig_ys, labels, rng, ltt_active, weights):
+            # differentiated fwd: quant pinned off (custom_vjp backwards
+            # differentiate the full-precision dense) + mesh-safe XLA path
+            with mesh_safe_pallas(), quant_override("none"):
+                adapt_ys, _ = recipe.fw_surrogate(
+                    m_config, p, xs, mask, deterministic=False, rng=rng,
+                    **_ltt_kw(ltt_active),
+                )
+            kld = loss_logits_kl_divergence(orig_ys, adapt_ys, weights)
+            # the cls metric rides the SAME executable (eagerly it cost ~6
+            # per-batch tunnel dispatches)
+            cls = cross_entropy_on_probs(adapt_ys, labels, weights)
+            return kld, (cls, adapt_ys)
+
+        step = make_train_step(tx, loss_fn)
+
+        def _eval(p, xs, mask, orig_ys, labels, weights, ltt_active):
+            with mesh_safe_pallas(), quant_override("none"):
+                adapt_ys = recipe.fw_surrogate(
+                    m_config, p, xs, mask, **_ltt_kw(ltt_active)
+                )[0]
+            return (adapt_ys,
+                    loss_logits_kl_divergence(orig_ys, adapt_ys, weights),
+                    cross_entropy_on_probs(adapt_ys, labels, weights))
+
+        eval_fwd = jax.jit(_eval)
+        to_flat = lambda p: p  # noqa: E731
+
+    # exact resume (AUTOGNOTHI_CKPT_OPT=1): reload Adam moments saved at
+    # the resume epoch; no-op otherwise (reference rebuilds from zero)
+    opt_state = maybe_restore_opt_state(
+        env.model_path, "surrogate", epoch_start, opt_state)
+
     def _teacher(p, xs, mask):
         # frozen no-grad teacher: XLA-path under a mesh (GSPMD replicates
-        # pallas_calls behind all-gathers — parallel.train_step rationale)
+        # pallas_calls behind all-gathers — parallel.train_step rationale);
+        # under pp the teacher is NOT pipelined — it is grad-free, so there
+        # is no optimizer state to shard, and GSPMD data-shards it fine
         with mesh_safe_pallas():
             return recipe.fw_classifier(m_config, p, xs, mask)[1]
 
     teacher_fwd = jax.jit(_teacher)
-
-    def loss_fn(p, xs, mask, orig_ys, labels, rng, ltt_active, weights):
-        # differentiated fwd: quant pinned off (custom_vjp backwards
-        # differentiate the full-precision dense) + mesh-safe XLA path
-        with mesh_safe_pallas(), quant_override("none"):
-            adapt_ys, _ = recipe.fw_surrogate(
-                m_config, p, xs, mask, deterministic=False, rng=rng,
-                **_ltt_kw(ltt_active),
-            )
-        kld = loss_logits_kl_divergence(orig_ys, adapt_ys, weights)
-        # the cls metric rides the SAME executable (eagerly it cost ~6
-        # per-batch tunnel dispatches)
-        cls = cross_entropy_on_probs(adapt_ys, labels, weights)
-        return kld, (cls, adapt_ys)
-
-    step = make_train_step(tx, loss_fn)
-
-    def _eval(p, xs, mask, orig_ys, labels, weights, ltt_active):
-        with mesh_safe_pallas(), quant_override("none"):
-            adapt_ys = recipe.fw_surrogate(
-                m_config, p, xs, mask, **_ltt_kw(ltt_active)
-            )[0]
-        return (adapt_ys,
-                loss_logits_kl_divergence(orig_ys, adapt_ys, weights),
-                cross_entropy_on_probs(adapt_ys, labels, weights))
-
-    eval_fwd = jax.jit(_eval)
 
     def run_epoch(epoch: int, rng, lr, update_mask, ltt_active, train: bool):
         nonlocal params, opt_state
@@ -213,6 +229,6 @@ def train_surrogate(env: ExpEnv) -> None:
             f"test_acc: {test_acc:.3f}"
         )
         if save_epoch_ckpt(env.model_path, "surrogate",
-                           config.train_surrogate, epoch, params,
+                           config.train_surrogate, epoch, to_flat(params),
                            opt_state=opt_state):
             env.flush_cfg()

@@ -15,6 +15,7 @@ from types import SimpleNamespace
 import numpy as np
 import pytest
 
+from autognothi_tpu.pipeline.resources import load_params_file
 from tests.test_train_all_e2e import MINI_VIT_HPARAMS
 
 
@@ -28,6 +29,10 @@ def _mk_exp(root: pathlib.Path, name: str, hparams: dict) -> pathlib.Path:
 def _vit_hparams(epochs: int = 2, batch_size: int = 8) -> dict:
     hp = copy.deepcopy(MINI_VIT_HPARAMS)
     hp["train_classifier"] = {
+        "epochs": epochs, "ckpt_when": "_:%1==0", "lr": 1e-3,
+        "batch_size": batch_size,
+    }
+    hp["train_surrogate"] = {
         "epochs": epochs, "ckpt_when": "_:%1==0", "lr": 1e-3,
         "batch_size": batch_size,
     }
@@ -51,8 +56,6 @@ def _train(exp: pathlib.Path, monkeypatch, pp=None) -> None:
 
 
 def _load(exp: pathlib.Path, epoch: int) -> dict:
-    from autognothi_tpu.pipeline.resources import load_params_file
-
     return load_params_file(exp / f"classifier-epoch-{epoch}.ckpt")
 
 
@@ -135,27 +138,53 @@ def test_pp_trainer_resume_from_flat_ckpt(tmp_path, monkeypatch):
     _assert_params_close(a, b)
 
 
+def test_pp_surrogate_matches_sequential(tmp_path, monkeypatch):
+    """Surrogate stage under pp: the KL-distilled student (a full backbone
+    copy) trains stage-sharded and must land on the sequential checkpoint.
+    The teacher rides its own (non-pipelined) executable in both runs."""
+    from autognothi_tpu.pipeline.env import ExpEnv
+    from autognothi_tpu.pipeline.train_all import conv_classifier_surrogate
+    from autognothi_tpu.pipeline.train_surrogate import train_surrogate
+
+    hp = _vit_hparams(epochs=1)
+    dirs = {}
+    for name, pp in (("seq", None), ("pp", 2)):
+        exp = _mk_exp(tmp_path, name, hp)
+        _train(exp, monkeypatch, pp=None)  # identical sequential classifier
+        env = ExpEnv(exp)
+        conv_classifier_surrogate(env)
+        if pp is None:
+            monkeypatch.delenv("AUTOGNOTHI_PP", raising=False)
+        else:
+            monkeypatch.setenv("AUTOGNOTHI_PP", str(pp))
+        train_surrogate(env)
+        monkeypatch.delenv("AUTOGNOTHI_PP", raising=False)
+        dirs[name] = exp
+
+    a = load_params_file(dirs["seq"] / "surrogate-epoch-1.ckpt")
+    b = load_params_file(dirs["pp"] / "surrogate-epoch-1.ckpt")
+    assert set(a) == set(b)
+    _assert_params_close(a, b)
+
+
 def test_pp_fail_closed():
-    from autognothi_tpu.pipeline.train_classifier import _setup_pp
+    from autognothi_tpu.pipeline.pp_trainer import _pp_context
 
     env = SimpleNamespace(log=lambda *_: None)
-
-    def cfg(kind, bs=8):
-        return SimpleNamespace(
-            net=SimpleNamespace(kind=kind),
-            train_classifier=SimpleNamespace(batch_size=bs))
+    cfg = lambda kind: SimpleNamespace(net=SimpleNamespace(kind=kind))  # noqa: E731
 
     with pytest.raises(ValueError, match="unsupported net kind"):
-        _setup_pp(env, cfg("ltt_vit"), None, {}, lambda n: True, 2, 2)
+        _pp_context(env, cfg("ltt_vit"), None, {}, lambda n: True, 2, 2, 8)
 
     m_cfg = SimpleNamespace(num_hidden_layers=2)
     with pytest.raises(ValueError, match="does not divide"):
-        _setup_pp(env, cfg("vanilla_vit"), m_cfg, {}, lambda n: True, 3, 2)
+        _pp_context(env, cfg("vanilla_vit"), m_cfg, {}, lambda n: True,
+                    3, 2, 8)
 
     # 8 devices / pipe 2 -> data 4; 4 % (4 x 2) != 0
     with pytest.raises(ValueError, match="batch_size=4"):
-        _setup_pp(env, cfg("vanilla_vit", bs=4), m_cfg, {},
-                  lambda n: True, 2, 2)
+        _pp_context(env, cfg("vanilla_vit"), m_cfg, {}, lambda n: True,
+                    2, 2, 4)
 
 
 def test_pp_env_parse(monkeypatch):
