@@ -354,8 +354,10 @@ def maybe_restore_opt_state(path: pathlib.Path, section: str, epoch: int,
     if len(loaded) != len(t_leaves):
         raise ValueError(
             f"optimizer checkpoint {file.name} has {len(loaded)} leaves, "
-            f"the rebuilt optimizer expects {len(t_leaves)} — config or "
-            "freeze-mask changed since it was written; delete it to resume "
+            f"the rebuilt optimizer expects {len(t_leaves)} — config, "
+            "freeze-mask or AUTOGNOTHI_PP changed since it was written "
+            "(pp stage-shards the moments, so pp and sequential opt "
+            "checkpoints are not interchangeable); delete it to resume "
             "with fresh moments")
     placed = []
     for got, want in zip(loaded, t_leaves):

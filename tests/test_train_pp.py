@@ -138,6 +138,45 @@ def test_pp_trainer_resume_from_flat_ckpt(tmp_path, monkeypatch):
     _assert_params_close(a, b)
 
 
+def test_pp_exact_resume_is_bit_identical(tmp_path, monkeypatch):
+    """AUTOGNOTHI_CKPT_OPT=1 composes with AUTOGNOTHI_PP: interrupt the pp
+    fine-tune before its final epoch, resume, and the final checkpoint is
+    BIT-IDENTICAL to an uninterrupted pp run — the stage-sharded Adam
+    moments round-trip through the indexed-leaf opt checkpoint and the
+    flat param dict re-splits exactly (host-side np round trips)."""
+    from autognothi_tpu.pipeline import train_classifier as tc
+    from autognothi_tpu.pipeline import training
+    from autognothi_tpu.pipeline.training import TrainingInterrupted
+
+    monkeypatch.setenv("AUTOGNOTHI_CKPT_OPT", "1")
+    hp = _vit_hparams(epochs=2)
+    a = _mk_exp(tmp_path, "a", hp)
+    _train(a, monkeypatch, pp=2)  # uninterrupted
+
+    b = _mk_exp(tmp_path, "b", hp)
+    real_cosine = tc.cosine_lr
+
+    def trip_at_final_epoch(base_lr, epoch, total):
+        if epoch == 2:
+            training._SHUTDOWN["requested"] = True
+        return real_cosine(base_lr, epoch, total)
+
+    monkeypatch.setattr(tc, "cosine_lr", trip_at_final_epoch)
+    with pytest.raises(TrainingInterrupted):
+        _train(b, monkeypatch, pp=2)
+    assert (b / "classifier-epoch-1.opt.ckpt").exists()
+
+    monkeypatch.setattr(tc, "cosine_lr", real_cosine)
+    training._SHUTDOWN["requested"] = False
+    _train(b, monkeypatch, pp=2)  # resume: redo the final epoch exactly
+
+    pa, pb = _load(a, 2), _load(b, 2)
+    assert set(pa) == set(pb)
+    for k in sorted(pa):
+        np.testing.assert_array_equal(
+            np.asarray(pa[k]), np.asarray(pb[k]), err_msg=k)
+
+
 def test_pp_surrogate_matches_sequential(tmp_path, monkeypatch):
     """Surrogate stage under pp: the KL-distilled student (a full backbone
     copy) trains stage-sharded and must land on the sequential checkpoint.
