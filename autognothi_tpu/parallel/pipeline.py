@@ -370,6 +370,66 @@ def pp_bert_classifier_fwd(
     return _cls_head(rest, h, cfg, deterministic=deterministic, rng=rng)
 
 
+def pp_vit_explainer_fwd(
+    rest: Params, stacked: Params, cfg, pixels: jax.Array,
+    mask: jax.Array, surrogate_grand: jax.Array, surrogate_null: jax.Array,
+    mesh: Mesh, *, microbatches: int,
+    deterministic: bool = True, rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """models/vit.vit_explainer_fwd with the backbone encoder pipelined: the
+    explainer is the one vanilla tower trained FULL-DEPTH from scratch
+    (recipes: every param trainable), so its grads + Adam moments are
+    depth-proportional — exactly the state pp stage-shards.  The
+    explainer_attn + MLP head runs GSPMD-sharded on `rest` after the
+    pipeline.  -> <B, n_classes, n_players> attributions.
+
+    Rng fold tags mirror vit_backbone (10 = embeddings, 11 = encoder) and
+    vit_explainer_head's internal 20+i folds (the head sees the raw key,
+    exactly like the sequential path)."""
+    from ..models.common import layer_norm, subdict
+    from ..models.vit import _rng, vit_embeddings, vit_explainer_head
+
+    vp = subdict(rest, "vit.")
+    h = vit_embeddings(vp, cfg, pixels, deterministic=deterministic,
+                       rng=_rng(rng, 10))
+    h = pipelined_vit_encoder_stacked(stacked, cfg, h, mask, mesh,
+                                      microbatches=microbatches,
+                                      deterministic=deterministic,
+                                      rng=_rng(rng, 11))
+    h = layer_norm(h, vp["layernorm.weight"], vp["layernorm.bias"],
+                   cfg.layer_norm_eps)
+    return vit_explainer_head(rest, cfg, h, mask, surrogate_grand,
+                              surrogate_null, deterministic=deterministic,
+                              rng=rng)
+
+
+def pp_bert_explainer_fwd(
+    rest: Params, stacked: Params, cfg, input_ids: jax.Array,
+    attention_mask: jax.Array, token_type_ids: jax.Array,
+    surrogate_grand: jax.Array, surrogate_null: jax.Array, mesh: Mesh, *,
+    microbatches: int,
+    deterministic: bool = True, rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """models/bert.bert_explainer_fwd with the encoder pipelined (text-track
+    counterpart of pp_vit_explainer_fwd; no final LN — bert_backbone ends at
+    the encoder).  Fold tags mirror bert_backbone (10/11) and
+    bert_explainer_head's 20+i / 29 internals."""
+    from ..models.bert import _rng, bert_embeddings, bert_explainer_head
+    from ..models.common import additive_mask_bias, subdict
+
+    bp = subdict(rest, "bert.")
+    h = bert_embeddings(bp, cfg, input_ids, token_type_ids,
+                        deterministic=deterministic, rng=_rng(rng, 10))
+    bias = additive_mask_bias(attention_mask, h.dtype)
+    h = pipelined_bert_encoder_stacked(stacked, cfg, h, bias, mesh,
+                                       microbatches=microbatches,
+                                       deterministic=deterministic,
+                                       rng=_rng(rng, 11))
+    return bert_explainer_head(rest, cfg, h, attention_mask,
+                               surrogate_grand, surrogate_null,
+                               deterministic=deterministic, rng=rng)
+
+
 def pipelined_bert_encoder_stacked(
     stacked: Params, cfg, h, mask_bias, mesh, *,
     microbatches: int, deterministic: bool = True, rng=None,

@@ -58,7 +58,8 @@ class PPContext(NamedTuple):
 
 
 def _pp_context(env, config, m_config, params, trainable,
-                pipe: int, microbatches: int, batch_size: int) -> PPContext:
+                pipe: int, microbatches: int, batch_size: int,
+                fwd_kind: str = "classifier") -> PPContext:
     kind = config.net.kind
     if kind not in ("vanilla_vit", "vanilla_bert"):
         raise ValueError(
@@ -105,21 +106,37 @@ def _pp_context(env, config, m_config, params, trainable,
     if kind == "vanilla_vit":
         from ..recipes.vanilla_vit import fw_xs_preprocess
 
-        def fwd(p, xs, mask, *, deterministic, rng):
-            xs, mask = fw_xs_preprocess(xs, mask)
-            return pp_vit_classifier_fwd(
-                p[0], p[1], m_config, xs, mask, mesh,
-                microbatches=microbatches, deterministic=deterministic,
-                rng=rng)
+        if fwd_kind == "classifier":
+            def fwd(p, xs, mask, *, deterministic, rng):
+                xs, mask = fw_xs_preprocess(xs, mask)
+                return pp_vit_classifier_fwd(
+                    p[0], p[1], m_config, xs, mask, mesh,
+                    microbatches=microbatches, deterministic=deterministic,
+                    rng=rng)
+        else:
+            def fwd(p, xs, mask, grand, null, *, deterministic, rng):
+                xs, mask = fw_xs_preprocess(xs, mask)
+                return pp_vit_explainer_fwd(
+                    p[0], p[1], m_config, xs, mask, grand, null, mesh,
+                    microbatches=microbatches, deterministic=deterministic,
+                    rng=rng)
     else:
         from ..recipes.vanilla_bert import fw_xs_preprocess
 
-        def fwd(p, xs, mask, *, deterministic, rng):
-            ids, mask, ttype = fw_xs_preprocess(xs, mask)
-            return pp_bert_classifier_fwd(
-                p[0], p[1], m_config, ids, mask, ttype, mesh,
-                microbatches=microbatches, deterministic=deterministic,
-                rng=rng)
+        if fwd_kind == "classifier":
+            def fwd(p, xs, mask, *, deterministic, rng):
+                ids, mask, ttype = fw_xs_preprocess(xs, mask)
+                return pp_bert_classifier_fwd(
+                    p[0], p[1], m_config, ids, mask, ttype, mesh,
+                    microbatches=microbatches, deterministic=deterministic,
+                    rng=rng)
+        else:
+            def fwd(p, xs, mask, grand, null, *, deterministic, rng):
+                ids, mask, ttype = fw_xs_preprocess(xs, mask)
+                return pp_bert_explainer_fwd(
+                    p[0], p[1], m_config, ids, mask, ttype, grand, null,
+                    mesh, microbatches=microbatches,
+                    deterministic=deterministic, rng=rng)
 
     def place_batch(tree):
         def place(x):
