@@ -1,13 +1,15 @@
 """Opt-in pipeline-parallel trainer scaffolding (AUTOGNOTHI_PP=P).
 
-The two full-tower training stages — the classifier (incl. the
+All three full-tower training stages — the classifier (incl. the
 pretrain_classifier fine-tune, where depth-proportional grads + Adam
-moments dominate memory) and the surrogate (a complete copy of the
-backbone KL-distilled under coalition masks) — run with the encoder
-stage-sharded over a ("data", "pipe") mesh (parallel/pipeline.py): 1/P of
-the depth state per rank.  Vanilla tracks only; the LTT/froyo/duo stages
-train heads against a frozen trunk, so there is nothing depth-proportional
-to split.
+moments dominate memory), the surrogate (a complete copy of the
+backbone KL-distilled under coalition masks), and the explainer (THE hot
+loop — the one vanilla tower trained FULL-DEPTH from scratch, so its
+grads + Adam moments are the most depth-proportional state in the
+pipeline) — run with the encoder stage-sharded over a ("data", "pipe")
+mesh (parallel/pipeline.py): 1/P of the depth state per rank.  Vanilla
+tracks only; the LTT/froyo/duo stages train heads against a frozen trunk,
+so there is nothing depth-proportional to split.
 
 Checkpoints stay flat dicts (`to_flat` merges the slabs back), so resume,
 conversions, export and migration are pp-oblivious.  Dropout keys fold per
@@ -35,7 +37,9 @@ from ..parallel.pipeline import (
     make_pipe_mesh,
     merge_encoder_params,
     pp_bert_classifier_fwd,
+    pp_bert_explainer_fwd,
     pp_vit_classifier_fwd,
+    pp_vit_explainer_fwd,
     split_encoder_params,
 )
 from ..parallel.train_step import mesh_safe_pallas
@@ -51,7 +55,10 @@ class PPContext(NamedTuple):
     params: tuple            # (rest, stacked)
     tx: Any
     opt_state: Any
-    fwd: Callable            # (params, xs, mask, *, deterministic, rng)
+    # fwd_kind="classifier": (params, xs, mask, *, deterministic, rng);
+    # fwd_kind="explainer":  (params, xs, mask, grand, null, *,
+    #                         deterministic, rng)
+    fwd: Callable
     place_batch: Callable
     place_replicated: Callable
     to_flat: Callable
@@ -213,3 +220,78 @@ def setup_pp_surrogate(env, config, m_config, params, cls_params, trainable,
 
     return (ctx.params, ctx.place_replicated(cls_params), ctx.tx,
             ctx.opt_state, step, jax.jit(_eval), ctx.place_batch, ctx.to_flat)
+
+
+def setup_pp_explainer(env, config, m_config, params, srg_params, recipe,
+                       pipe: int, microbatches: int):
+    """-> (params, srg_params, tx, opt_state, step, eval_step, place_batch,
+    to_flat) where step/eval_step carry parallel.train_step's
+    make_explainer_{train,eval}_step signatures, so train_explainer's epoch
+    loop stays parallelism-agnostic.
+
+    The whole hot step stays ONE XLA program, exactly like the sequential
+    make_explainer_train_step: on-device paired-complement coalition
+    sampling, the B*M masked surrogate teacher forwards (grad-free — the
+    teacher rides train_step._make_teacher's shard_map over the mesh's
+    "data" axis against replicated srg_params; nothing depth-proportional
+    to stage-shard there), then the pipelined explainer fwd/bwd (backbone
+    stage-sharded along "pipe", explainer_attn + MLP head GSPMD on `rest`)
+    and the AdamW update with grads + moments in the stage-sharded layout.
+    `ltt_active` is accepted and ignored — _pp_context admits vanilla
+    recipes only, which have no ladder depth knob."""
+    import optax
+
+    from ..ops.shapley import loss_shapley, mask_shapley
+    from ..parallel.train_step import _make_teacher
+
+    ctx = _pp_context(env, config, m_config, params,
+                      recipe.trainable(m_config, "explainer"),
+                      pipe, microbatches, config.train_explainer.batch_size,
+                      fwd_kind="explainer")
+    n_players = recipe.n_players(m_config)
+    n_mask_samples = config.train_explainer.n_mask_samples
+    teacher = _make_teacher(recipe, m_config, n_players, ctx.mesh)
+
+    def loss_fn(p, xs, masks_bmp, v_0, v_s, v_1, rng, weights):
+        b = masks_bmp.shape[0]
+        mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
+        with mesh_safe_pallas(), quant_override("none"):
+            # differentiated fwd stays bf16/XLA (trainer discipline,
+            # parallel/train_step.py)
+            phi = ctx.fwd(p, xs, mask_1, v_1, v_0,
+                          deterministic=False, rng=rng)
+        return loss_shapley(masks_bmp, v_0, v_s, v_1, phi, weights)
+
+    @jax.jit
+    def step(p, opt_state, srg_p, surrogate_null, xs, key, lr,
+             update_mask, ltt_active, weights=None):
+        b = xs.shape[0]
+        mask_key, drop_key = jax.random.split(key)
+        masks = mask_shapley(mask_key, b * n_mask_samples, n_players)
+        masks = masks.reshape(b, n_mask_samples, n_players)
+        v_s, v_1 = teacher(srg_p, xs, masks)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            p, xs, masks, surrogate_null, v_s, v_1, drop_key, weights)
+        grads = jax.tree.map(lambda g, m: g * m, grads, update_mask)
+        opt_state = optax.tree_utils.tree_set(opt_state, learning_rate=lr)
+        updates, opt_state = ctx.tx.update(grads, opt_state, p)
+        updates = jax.tree.map(lambda u, m: u * m, updates, update_mask)
+        p = optax.apply_updates(p, updates)
+        return p, opt_state, loss
+
+    @jax.jit
+    def eval_step(p, srg_p, surrogate_null, xs, key, ltt_active,
+                  weights=None):
+        b = xs.shape[0]
+        mask_key, _ = jax.random.split(key)
+        masks = mask_shapley(mask_key, b * n_mask_samples, n_players)
+        masks = masks.reshape(b, n_mask_samples, n_players)
+        v_s, v_1 = teacher(srg_p, xs, masks)
+        mask_1 = jnp.ones((b, n_players), dtype=jnp.int32)
+        with mesh_safe_pallas(), quant_override("none"):
+            phi = ctx.fwd(p, xs, mask_1, v_1, surrogate_null,
+                          deterministic=True, rng=None)
+        return loss_shapley(masks, surrogate_null, v_s, v_1, phi, weights)
+
+    return (ctx.params, ctx.place_replicated(srg_params), ctx.tx,
+            ctx.opt_state, step, eval_step, ctx.place_batch, ctx.to_flat)

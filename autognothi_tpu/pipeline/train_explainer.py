@@ -71,16 +71,38 @@ def train_explainer(env: ExpEnv) -> None:
         env.log("[[[ explainer already trained ]]]")
         return
 
-    # multi-device: replicate params, shard the batch/coalition axis
-    from ..parallel.mesh import setup_data_parallel
+    from ..parallel.pipeline import pp_config_from_env
 
-    mesh, place_params, place_batch = setup_data_parallel()
-    if mesh is not None:
-        env.log(f"[[[ data-parallel over {mesh.devices.size} devices ]]]")
-        params = place_params(params)
-        srg_params = place_params(srg_params)
+    pp_cfg = pp_config_from_env()
+    if pp_cfg is not None:
+        # AUTOGNOTHI_PP: backbone stage-sharded over ("data", "pipe") — the
+        # explainer is the one tower trained full-depth from scratch, so its
+        # grads + Adam moments are the most depth-proportional state there is
+        from .pp_trainer import setup_pp_explainer
 
-    tx, opt_state = make_optimizer(params, recipe.trainable(m_config, "explainer"))
+        (params, srg_params, tx, opt_state, step, eval_step, place_batch,
+         to_flat) = setup_pp_explainer(
+            env, config, m_config, params, srg_params, recipe, *pp_cfg)
+    else:
+        # multi-device: replicate params, shard the batch/coalition axis
+        from ..parallel.mesh import setup_data_parallel
+
+        mesh, place_params, place_batch = setup_data_parallel()
+        if mesh is not None:
+            env.log(f"[[[ data-parallel over {mesh.devices.size} devices ]]]")
+            params = place_params(params)
+            srg_params = place_params(srg_params)
+
+        tx, opt_state = make_optimizer(
+            params, recipe.trainable(m_config, "explainer"))
+        # ONE step implementation: the fused, mesh-shardable XLA program from
+        # parallel/train_step.py (sampler + teacher + fwd/bwd + AdamW).
+        step = make_explainer_train_step(recipe, m_config, n_players,
+                                         n_mask_samples, tx, mesh=mesh)
+        eval_step = make_explainer_eval_step(recipe, m_config, n_players,
+                                             n_mask_samples, mesh=mesh)
+        to_flat = lambda p: p  # noqa: E731
+
     # exact resume (AUTOGNOTHI_CKPT_OPT=1): reload Adam moments saved at
     # the resume epoch; no-op otherwise (reference rebuilds from zero)
     opt_state = maybe_restore_opt_state(
@@ -94,13 +116,6 @@ def train_explainer(env: ExpEnv) -> None:
     )(srg_params, nil_xs, nil_mask)
 
     full_depth = getattr(m_config, "num_hidden_layers", 0)
-
-    # ONE step implementation: the fused, mesh-shardable XLA program from
-    # parallel/train_step.py (sampler + teacher + fwd/bwd + AdamW).
-    step = make_explainer_train_step(recipe, m_config, n_players,
-                                     n_mask_samples, tx, mesh=mesh)
-    eval_step = make_explainer_eval_step(recipe, m_config, n_players,
-                                         n_mask_samples, mesh=mesh)
 
     def run_epoch(epoch: int, rng, lr, update_mask, ltt_active, train: bool):
         nonlocal params, opt_state
@@ -182,6 +197,6 @@ def train_explainer(env: ExpEnv) -> None:
             f"test_loss: shap {test_loss:.6f}"
         )
         if save_epoch_ckpt(env.model_path, "explainer",
-                           config.train_explainer, epoch, params,
+                           config.train_explainer, epoch, to_flat(params),
                            opt_state=opt_state):
             env.flush_cfg()

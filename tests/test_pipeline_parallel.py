@@ -182,6 +182,58 @@ def test_pp_fwd_parity_vs_plain_classifier(vit_setup):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_pp_vit_explainer_fwd_parity(vit_setup):
+    """pp_vit_explainer_fwd vs the sequential vit_explainer_fwd (the hot
+    training tower): attributions must match with the backbone encoder
+    stage-sharded and the explainer_attn + MLP head on `rest`."""
+    from autognothi_tpu.models.vit import init_vit_explainer, vit_explainer_fwd
+    from autognothi_tpu.parallel.pipeline import pp_vit_explainer_fwd
+
+    cfg, _, _, pixels, _, _ = vit_setup
+    p = init_vit_explainer(jax.random.PRNGKey(8), cfg)
+    rs = np.random.RandomState(9)
+    grand = jnp.asarray(rs.randn(8, cfg.num_labels).astype(np.float32))
+    null = jnp.asarray(rs.randn(1, cfg.num_labels).astype(np.float32))
+    ones = jnp.ones((8, cfg.n_patches + 1), jnp.float32)
+
+    mesh = make_pipe_mesh(8, pipe=4)
+    rest, stacked = split_encoder_params(p, cfg.num_hidden_layers, mesh)
+    phi = pp_vit_explainer_fwd(rest, stacked, cfg, pixels, ones, grand, null,
+                               mesh, microbatches=2)
+    ref, _ = vit_explainer_fwd(p, cfg, pixels, ones, grand, null)
+    assert phi.shape == (8, cfg.num_labels, cfg.n_patches)
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pp_bert_explainer_fwd_parity():
+    """Text-track pp explainer forward vs the sequential bert_explainer_fwd
+    (no final LN — bert_backbone ends at the encoder)."""
+    from autognothi_tpu.models.bert import (
+        bert_explainer_fwd,
+        init_bert_explainer,
+    )
+    from autognothi_tpu.parallel.pipeline import pp_bert_explainer_fwd
+
+    cfg = _mini_bert_cfg()
+    p = init_bert_explainer(jax.random.PRNGKey(10), cfg)
+    rs = np.random.RandomState(12)
+    ids = jnp.asarray(rs.randint(0, 64, (8, 12)))
+    attn = jnp.ones((8, 12), jnp.int32)
+    toktype = jnp.zeros((8, 12), jnp.int32)
+    grand = jnp.asarray(rs.randn(8, cfg.num_labels).astype(np.float32))
+    null = jnp.asarray(rs.randn(1, cfg.num_labels).astype(np.float32))
+
+    mesh = make_pipe_mesh(8, pipe=2)
+    rest, stacked = split_encoder_params(
+        p, cfg.num_hidden_layers, mesh, prefix="bert.encoder.layers")
+    phi = pp_bert_explainer_fwd(rest, stacked, cfg, ids, attn, toktype,
+                                grand, null, mesh, microbatches=2)
+    ref, _ = bert_explainer_fwd(p, cfg, ids, attn, toktype, grand, null)
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_pp_collective_shape(vit_setup):
     """The compiled pp forward moves activations with collective-permutes
     (inside the schedule loop) and must not all-gather the weight slabs —

@@ -206,6 +206,111 @@ def test_pp_surrogate_matches_sequential(tmp_path, monkeypatch):
     _assert_params_close(a, b)
 
 
+def _explainer_prefix(tmp_path, monkeypatch, hp) -> pathlib.Path:
+    """Train the sequential classifier + surrogate once and convert up to
+    explainer-epoch-0 — the shared prefix both explainer runs start from
+    (cloned with copytree so seq/pp diverge only in train_explainer)."""
+    from autognothi_tpu.pipeline.env import ExpEnv
+    from autognothi_tpu.pipeline.train_all import (
+        conv_classifier_surrogate,
+        conv_surrogate_explainer,
+    )
+    from autognothi_tpu.pipeline.train_surrogate import train_surrogate
+
+    base = _mk_exp(tmp_path, "prefix", hp)
+    _train(base, monkeypatch, pp=None)
+    env = ExpEnv(base)
+    conv_classifier_surrogate(env)
+    train_surrogate(env)
+    conv_surrogate_explainer(env)
+    return base
+
+
+def _explainer_hp() -> dict:
+    hp = _vit_hparams(epochs=1)
+    hp["train_explainer"] = {
+        "epochs": 2, "ckpt_when": "_:%1==0", "lr": 1e-3, "batch_size": 8,
+        "n_mask_samples": 2, "lambda_efficiency": 0.0, "lambda_norm": 0.0,
+    }
+    return hp
+
+
+def test_pp_explainer_matches_sequential(tmp_path, monkeypatch):
+    """Explainer stage under pp — THE hot loop, and the one vanilla tower
+    trained full-depth from scratch.  Same seed, same data: the pp run
+    (backbone stage-sharded, teacher sweep on the pipe mesh's "data" axis)
+    must land on the sequential trainer's checkpoint."""
+    import shutil
+
+    from autognothi_tpu.pipeline.env import ExpEnv
+    from autognothi_tpu.pipeline.train_explainer import train_explainer
+
+    base = _explainer_prefix(tmp_path, monkeypatch, _explainer_hp())
+    dirs = {}
+    for name, pp in (("seq", None), ("pp", 2)):
+        exp = tmp_path / name
+        shutil.copytree(base, exp)
+        if pp is None:
+            monkeypatch.delenv("AUTOGNOTHI_PP", raising=False)
+        else:
+            monkeypatch.setenv("AUTOGNOTHI_PP", str(pp))
+        train_explainer(ExpEnv(exp))
+        monkeypatch.delenv("AUTOGNOTHI_PP", raising=False)
+        dirs[name] = exp
+
+    a = load_params_file(dirs["seq"] / "explainer-epoch-2.ckpt")
+    b = load_params_file(dirs["pp"] / "explainer-epoch-2.ckpt")
+    assert set(a) == set(b)  # pp is invisible on disk: same flat keys
+    _assert_params_close(a, b)
+
+
+def test_pp_explainer_exact_resume_bit_identical(tmp_path, monkeypatch):
+    """AUTOGNOTHI_CKPT_OPT=1 composes with the pp explainer: interrupt
+    before the final epoch, resume, and the final checkpoint is
+    BIT-IDENTICAL to an uninterrupted pp run (stage-sharded Adam moments
+    round-trip; the flat param dict re-splits exactly)."""
+    import shutil
+
+    from autognothi_tpu.pipeline import train_explainer as te
+    from autognothi_tpu.pipeline import training
+    from autognothi_tpu.pipeline.env import ExpEnv
+    from autognothi_tpu.pipeline.train_explainer import train_explainer
+    from autognothi_tpu.pipeline.training import TrainingInterrupted
+
+    monkeypatch.setenv("AUTOGNOTHI_CKPT_OPT", "1")
+    base = _explainer_prefix(tmp_path, monkeypatch, _explainer_hp())
+    monkeypatch.setenv("AUTOGNOTHI_PP", "2")
+
+    a = tmp_path / "a"
+    shutil.copytree(base, a)
+    train_explainer(ExpEnv(a))  # uninterrupted
+
+    b = tmp_path / "b"
+    shutil.copytree(base, b)
+    real_cosine = te.cosine_lr
+
+    def trip_at_final_epoch(base_lr, epoch, total):
+        if epoch == 2:
+            training._SHUTDOWN["requested"] = True
+        return real_cosine(base_lr, epoch, total)
+
+    monkeypatch.setattr(te, "cosine_lr", trip_at_final_epoch)
+    with pytest.raises(TrainingInterrupted):
+        train_explainer(ExpEnv(b))
+    assert (b / "explainer-epoch-1.opt.ckpt").exists()
+
+    monkeypatch.setattr(te, "cosine_lr", real_cosine)
+    training._SHUTDOWN["requested"] = False
+    train_explainer(ExpEnv(b))  # resume: redo the final epoch exactly
+
+    pa = load_params_file(a / "explainer-epoch-2.ckpt")
+    pb = load_params_file(b / "explainer-epoch-2.ckpt")
+    assert set(pa) == set(pb)
+    for k in sorted(pa):
+        np.testing.assert_array_equal(
+            np.asarray(pa[k]), np.asarray(pb[k]), err_msg=k)
+
+
 def test_pp_fail_closed():
     from autognothi_tpu.pipeline.pp_trainer import _pp_context
 
