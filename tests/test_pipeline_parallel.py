@@ -386,6 +386,53 @@ def test_pp_train_step_pins_pallas_and_quant(vit_setup, monkeypatch):
     assert float(ref) == float(pinned), (float(ref), float(pinned))
 
 
+def test_pp_per_rank_memory_scales_1_over_p():
+    """The memory model pp exists for, MEASURED from the actual addressable
+    shard buffers after one real train step: per-rank encoder-stack bytes
+    (weights AND Adam moments) are exactly the 1/P slab at P in {2, 4}
+    (12 layers), while `rest` stays replicated (constant per rank).
+    Full sweep incl. P=3 + the microbatch temp-size table:
+    playground/bench_pp_memory.py (recorded in BASELINE.md)."""
+    from autognothi_tpu.parallel.pipeline import (
+        make_pp_classifier_train_step,
+    )
+
+    cfg = _mini_cfg(layers=12)
+    params = init_vit_classifier(jax.random.PRNGKey(0), cfg)
+
+    def rank0_bytes(tree, dev):
+        return sum(
+            s.data.nbytes
+            for leaf in jax.tree.leaves(tree)
+            if hasattr(leaf, "addressable_shards")
+            for s in leaf.addressable_shards if s.device == dev
+        )
+
+    full_stack = sum(
+        np.asarray(v).nbytes for k, v in params.items()
+        if k.startswith("vit.encoder.layers.")
+    )
+    per_rank = {}
+    for pipe in (2, 4):
+        mesh = make_pipe_mesh(pipe, pipe=pipe)  # data=1: pure depth split
+        rest, stacked = split_encoder_params(params, 12, mesh)
+        tx = optax.adamw(1e-3)
+        opt = tx.init((rest, stacked))
+        step = make_pp_classifier_train_step(cfg, tx, mesh, microbatches=2)
+        xs = jnp.zeros((2, 3, 16, 16), jnp.float32)
+        ones = jnp.ones((2, cfg.n_patches + 1), jnp.float32)
+        labels = jnp.zeros((2,), jnp.int32)
+        rest, stacked, opt, _ = step(rest, stacked, opt, xs, ones, labels)
+        dev = mesh.devices.flat[0]
+        stack_b = rank0_bytes(stacked, dev)
+        assert stack_b == full_stack // pipe, (pipe, stack_b, full_stack)
+        per_rank[pipe] = stack_b + rank0_bytes(opt, dev)
+    # Adam carries 2 stack-shaped moments per rank + a replicated remainder
+    # (rest moments, scalar counts): P=2 -> P=4 must shed at least 40% of
+    # the stack-proportional state (exactly 50% minus the constant part)
+    assert per_rank[4] < 0.6 * per_rank[2], per_rank
+
+
 def test_pp_fail_closed(vit_setup):
     cfg, _, vp, _, mask, h0 = vit_setup
     mesh = make_pipe_mesh(8, pipe=4)
