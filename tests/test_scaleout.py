@@ -55,6 +55,113 @@ def test_tp4_step_equals_single_device_step():
         )
 
 
+def _mini_ltt_cfg():
+    from autognothi_tpu.models.ltt_vit import LttViTConfig
+
+    return LttViTConfig(
+        attention_probs_dropout_prob=0.0,
+        explainer_s_attn_num_layers=1,
+        explainer_s_head_hidden_size=16,
+        explainer_normalize=True,
+        hidden_dropout_prob=0.0,
+        hidden_size=32,
+        intermediate_size=64,
+        layer_norm_eps=1e-12,
+        num_attention_heads=4,
+        num_hidden_layers=2,
+        num_labels=3,
+        s_attn_hidden_size=8,
+        s_attn_intermediate_size=16,
+        img_channels=3,
+        img_px_size=16,
+        img_patch_size=8,
+    )
+
+
+def test_ltt_param_pspec_covers_side_ladders():
+    """The flagship family's side-ladder weights must ride the Megatron
+    specs, not silently replicate: every s_attn_layers / s_explainer_attn
+    attention+MLP block weight ends with a param_pspec suffix and shards
+    over "model" (flagship dims: s_attn 96 divides TP in {2,3,4,6,12}).
+    The s_attn_maps trunk->ladder denses and the s_explainer_mlp head
+    stay replicated BY DESIGN: the maps are skinny (hidden x 96), and the
+    head is ~7% of flagship serving time (BASELINE r3 budget) — sharding
+    it buys one more all-reduce pair for negligible compute."""
+    from jax.sharding import PartitionSpec as P
+
+    from autognothi_tpu.models.ltt_vit import init_ltt_vit_explainer
+    from autognothi_tpu.parallel.mesh import param_pspec
+
+    params = init_ltt_vit_explainer(jax.random.PRNGKey(0), _mini_ltt_cfg())
+    ladder_w = [k for k in params
+                if (".s_attn_layers." in k or ".s_explainer_attn." in k
+                    or "s_explainer_attn." in k)
+                and k.endswith((".query.weight", ".key.weight",
+                                ".value.weight", "intermediate.dense.weight",
+                                "attention.output.dense.weight",
+                                ".output.dense.weight"))]
+    assert ladder_w, "no ladder block weights found — naming drifted?"
+    for k in ladder_w:
+        spec = param_pspec(k, params[k].ndim)
+        assert "model" in spec, f"{k} would replicate under TP: {spec}"
+    # the trunk attention/MLP weights keep their specs too (regression pin)
+    assert param_pspec(
+        "vit.encoder.layers.0.attention.self.query.weight", 2
+    ) == P("model", None)
+
+
+def test_ltt_tp2_step_equals_single_device_step():
+    """The fused explainer step for the FLAGSHIP family (LTT: frozen trunk +
+    trainable side ladders, traced ltt_active depth) under a (4 data x
+    2 model) Megatron mesh matches the unsharded step — the TP parity
+    matrix was vanilla-only before (verdict r4 #8)."""
+    from autognothi_tpu.models.ltt_vit import (
+        init_ltt_vit_explainer,
+        init_ltt_vit_surrogate,
+    )
+    from autognothi_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from autognothi_tpu.parallel.train_step import make_explainer_train_step
+    from autognothi_tpu.pipeline.training import make_optimizer, ones_mask
+    from autognothi_tpu.recipes.ltt_vit import ltt_vit_recipe
+
+    cfg = _mini_ltt_cfg()
+    recipe = ltt_vit_recipe()
+    n_players = recipe.n_players(cfg)
+    key = jax.random.PRNGKey(0)
+    exp_p = init_ltt_vit_explainer(key, cfg)
+    srg_p = init_ltt_vit_surrogate(jax.random.fold_in(key, 1), cfg)
+    nil_xs = jnp.zeros((1, 3, 16, 16))
+    null, _ = recipe.fw_surrogate(
+        cfg, srg_p, nil_xs, jnp.ones((1, n_players), jnp.int32))
+    xs = jnp.asarray(np.random.RandomState(0).randn(8, 3, 16, 16)
+                     .astype(np.float32))
+
+    def run(mesh):
+        ep, sp, x = exp_p, srg_p, xs
+        if mesh is not None:
+            ep, sp, x = (shard_params(ep, mesh), shard_params(sp, mesh),
+                         shard_batch(x, mesh))
+        tx, opt = make_optimizer(ep, recipe.trainable(cfg, "explainer"))
+        step = make_explainer_train_step(recipe, cfg, n_players, 4, tx,
+                                         mesh=mesh)
+        args = (ep, opt, sp, null, x, jax.random.PRNGKey(7),
+                jnp.asarray(1e-3), ones_mask(ep),
+                jnp.asarray(cfg.num_hidden_layers, jnp.int32))
+        if mesh is not None:
+            with mesh:
+                new_p, _, loss = step(*args)
+        else:
+            new_p, _, loss = step(*args)
+        return jax.device_get(new_p), float(loss)
+
+    ref_p, ref_loss = run(None)
+    tp_p, tp_loss = run(make_mesh(8, model_parallel=2))
+    assert np.isfinite(ref_loss) and abs(ref_loss - tp_loss) < 1e-5
+    for k in ref_p:
+        np.testing.assert_allclose(tp_p[k], ref_p[k], atol=2e-4, rtol=0,
+                                   err_msg=k)
+
+
 def test_shard_params_fails_closed_on_indivisible_tp():
     """A TP degree that does not divide the weight dims must raise a clear
     error naming the weights — never let GSPMD pad or device_put crash with
