@@ -11,7 +11,10 @@ plus 96-dim side ladders yields logits AND attributions, ~37 GF/explanation
 vs the vanilla 3-tower final's ~107 GF.  The vanilla final and the froyo
 final (the reference's single-trunk variant — fastest family member, no
 ladders) are measured too and reported under `{vanilla,froyo}_expl_per_sec`
-(ceiling analyses in BASELINE.md).
+(ceiling analyses in BASELINE.md).  The TEXT track measures the same three
+families at BERT-base @T=512 / B=8 (the measured knee):
+`{bert,ltt_bert,froyo_bert}_expl_per_sec` — all six reference finals carry
+driver-visible numbers with matched accounting.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
@@ -50,15 +53,30 @@ import time
 
 A100_TORCH_EST_EXPL_PER_SEC = 450.0
 # measured same-host torch-CPU anchors (perf_anchor.py, batch-1 eager,
-# 1 core): ms/expl -> expl/s; r3 (vanilla/ltt), r4 (froyo)
+# 1 core): ms/expl -> expl/s; r3 (vanilla/ltt), r4 (froyo), r5 (BERT track)
 TORCH_CPU_MEASURED = {
-    "vanilla": 0.932,   # 1073 ms/expl
-    "ltt": 2.347,       # 426 ms/expl
-    "froyo": 2.525,     # 396 ms/expl
+    "vanilla": 0.932,      # 1073 ms/expl (ViT-B/224)
+    "ltt": 2.347,          # 426 ms/expl
+    "froyo": 2.525,        # 396 ms/expl
+    "bert": 0.225,         # 4452 ms/expl (BERT-base @T=512, r2 anchor)
+    "ltt_bert": 0.560,     # 1786 ms/expl (r5 anchor)
+    "froyo_bert": 0.812,   # 1231 ms/expl (r5 anchor)
 }
 CPU_TO_A100_FACTOR = A100_TORCH_EST_EXPL_PER_SEC / TORCH_CPU_MEASURED["vanilla"]
 A100_TORCH_EST = {  # method-matched per-family A100 estimates
     fam: cpu * CPU_TO_A100_FACTOR for fam, cpu in TORCH_CPU_MEASURED.items()
+}
+# cross-architecture denominator per TRACK: the vanilla family of the same
+# track (ViT children anchor to the vanilla 3-tower ViT estimate; BERT
+# children to the vanilla 3-tower BERT estimate — same 483x CPU->A100
+# factor, module docstring)
+A100_TRACK_BASELINE = {
+    "vanilla": A100_TORCH_EST_EXPL_PER_SEC,
+    "ltt": A100_TORCH_EST_EXPL_PER_SEC,
+    "froyo": A100_TORCH_EST_EXPL_PER_SEC,
+    "bert": A100_TORCH_EST["bert"],
+    "ltt_bert": A100_TORCH_EST["bert"],
+    "froyo_bert": A100_TORCH_EST["bert"],
 }
 
 WARMUP = 3
@@ -76,11 +94,68 @@ def _bench_model(model: str) -> None:
     # batch knees measured on the chip: vanilla 256 (r1 sweep, flat past);
     # LTT 384 (r3 sweep: 2475@128, 2586@256, 2623@384, 2629@512); froyo 512
     # (r4 sweep: 3717@256, 3773@384, 3805@512 — the lighter tail amortizes
-    # the fixed cost further out than the 3-tower models)
-    default_batch = {"ltt": "384", "froyo": "512"}.get(model, "256")
+    # the fixed cost further out than the 3-tower models); every BERT@512
+    # final knees at B=8 (r3 sweeps: the T=512 per-head score/softmax VPU
+    # work grows faster past that than the fixed cost shrinks)
+    default_batch = {"ltt": "384", "froyo": "512",
+                     "bert": "8", "ltt_bert": "8", "froyo_bert": "8"}.get(
+        model, "256")
     batch = int(os.environ.get("AUTOGNOTHI_BENCH_BATCH", default_batch))
 
-    if model == "ltt":
+    def _flagship_bert_common():
+        # BERT-base @T=512: the reference's shipped bert_base_tayp_* dims
+        return dict(
+            attention_probs_dropout_prob=0.0,
+            explainer_normalize=True,
+            hidden_dropout_prob=0.0,
+            hidden_size=768,
+            intermediate_size=3072,
+            layer_norm_eps=1e-12,
+            max_position_embeddings=512,
+            num_attention_heads=12,
+            num_hidden_layers=12,
+            num_labels=2,
+            pad_token_id=0,
+            type_vocab_size=2,
+            vocab_size=30522,
+        )
+
+    if model == "bert":
+        from autognothi_tpu.models.bert import (
+            VanillaBertConfig,
+            init_bert_final,
+        )
+        from autognothi_tpu.recipes.vanilla_bert import fw_final
+
+        cfg = VanillaBertConfig(explainer_attn_num_layers=1,
+                                explainer_head_hidden_size=3072,
+                                **_flagship_bert_common())
+        params = init_bert_final(jax.random.PRNGKey(0), cfg)
+    elif model == "ltt_bert":
+        from autognothi_tpu.models.ltt_bert import (
+            LttBertConfig,
+            init_ltt_bert_final,
+        )
+        from autognothi_tpu.recipes.ltt_bert import fw_final
+
+        cfg = LttBertConfig(explainer_s_attn_num_layers=1,
+                            explainer_s_head_hidden_size=3072,
+                            s_attn_hidden_size=96,
+                            s_attn_intermediate_size=384,
+                            **_flagship_bert_common())
+        params = init_ltt_bert_final(jax.random.PRNGKey(0), cfg)
+    elif model == "froyo_bert":
+        from autognothi_tpu.models.froyo_bert import (
+            FroyoBertConfig,
+            init_froyo_bert_final,
+        )
+        from autognothi_tpu.recipes.froyo_bert import fw_final
+
+        cfg = FroyoBertConfig(explainer_attn_num_layers=1,
+                              explainer_head_hidden_size=3072,
+                              **_flagship_bert_common())
+        params = init_froyo_bert_final(jax.random.PRNGKey(0), cfg)
+    elif model == "ltt":
         from autognothi_tpu.models.ltt_vit import init_ltt_vit_final
         from autognothi_tpu.recipes.ltt_vit import fw_final
         from __graft_entry__ import _flagship_ltt_cfg
@@ -126,8 +201,12 @@ def _bench_model(model: str) -> None:
         n = mesh.devices.size
         batch = ((batch + n - 1) // n) * n
 
+    is_text = model.endswith("bert")
+
     def fw(p, xs):
-        probs, attr = fw_final(cfg, p, xs.astype(jnp.bfloat16))
+        if not is_text:
+            xs = xs.astype(jnp.bfloat16)  # token ids stay integer
+        probs, attr = fw_final(cfg, p, xs)
         return probs.astype(jnp.float32), attr.astype(jnp.float32)
 
     if mesh is not None:
@@ -137,6 +216,9 @@ def _bench_model(model: str) -> None:
         run = jax.jit(fw)
 
     xs = place_batch(
+        jax.random.randint(jax.random.PRNGKey(1), (batch, 512), 1,
+                           cfg.vocab_size)
+        if is_text else
         jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 224, 224)))
 
     def fence(x):
@@ -203,17 +285,19 @@ def main() -> None:
 
     ltt = _run_child("ltt")
     extra = {}
-    for name in ("vanilla", "froyo"):
-        # froyo: the reference's single-trunk variant — the fastest family
-        # member (no ladders); vanilla: the r1/r2 3-tower headline
+    for name in ("vanilla", "froyo", "bert", "ltt_bert", "froyo_bert"):
+        # ViT track: froyo (single-trunk, fastest) + vanilla (3-tower, the
+        # r1/r2 headline).  BERT track (@T=512, B=8 knees): the same three
+        # families — all six reference finals carry driver-visible numbers
+        # with matched accounting (verdict r4 #2)
         try:
             res = _run_child(name)
             v = res["expl_per_sec"]
             extra[f"{name}_expl_per_sec"] = round(v, 2)
-            # cross-architecture (vanilla-anchored) AND method-matched
-            # ratios, every round (module docstring)
+            # cross-architecture (same-track vanilla-anchored) AND
+            # method-matched ratios, every round (module docstring)
             extra[f"{name}_vs_baseline"] = round(
-                v / A100_TORCH_EST_EXPL_PER_SEC, 3)
+                v / A100_TRACK_BASELINE[name], 3)
             extra[f"{name}_vs_baseline_matched"] = round(
                 v / A100_TORCH_EST[name], 3)
             extra[f"{name}_vs_ref_cpu_measured"] = round(

@@ -187,9 +187,19 @@ def main() -> None:
                                       "kernel_shap_bert"],
                     default="vanilla_vit")
     ap.add_argument("--atol", type=float, default=5e-3)
+    ap.add_argument("--pp", type=int, default=0,
+                    help="train the CPU reference stage with pipeline "
+                         "parallelism (AUTOGNOTHI_PP=<P> over an 8-virtual-"
+                         "device mesh) — proves PP-trained checkpoints are "
+                         "production-indistinguishable through the full "
+                         "hardware faithfulness gate (vanilla tracks only)")
     args = ap.parse_args()
 
-    exp = pathlib.Path(args.exp or f"/tmp/quality_gate_{args.net}")
+    if args.pp and args.net not in ("vanilla_vit", "vanilla_bert"):
+        raise SystemExit("--pp gates the vanilla tracks (pipeline "
+                         "parallelism covers full-tower training only)")
+    tag = f"_pp{args.pp}" if args.pp else ""
+    exp = pathlib.Path(args.exp or f"/tmp/quality_gate_{args.net}{tag}")
     faith = exp / ".reports" / "faithfulness.json"
     cpu_ref = exp / ".reports" / "faithfulness_cpu_fp32.json"
 
@@ -244,14 +254,25 @@ def main() -> None:
             hp["net"]["kind"] = "froyo_vit"
         else:
             hp = MINI_VIT_HPARAMS
+        train_env = {"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+                     "AUTOGNOTHI_INT8": "0"}
+        if args.pp:
+            # stage-sharded training needs a mesh: 8 virtual CPU devices,
+            # and batches divisible by (data x microbatches)
+            for k in ("train_classifier", "train_surrogate",
+                      "train_explainer"):
+                if k in hp:
+                    hp[k]["batch_size"] = 8
+            train_env.update({
+                "AUTOGNOTHI_PP": str(args.pp),
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+            })
         (exp / ".hparams.json").write_text(
             json.dumps(hp, indent=1), encoding="utf-8"
         )
         # stage 1: CPU fp32 reference (trains + measures everything)
         sh([sys.executable, "main.py", "run_all", str(exp), "--device",
-            "cpu"],
-           {"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
-            "AUTOGNOTHI_INT8": "0"})
+            "cpu"], train_env)
         shutil.copy(faith, cpu_ref)
 
     # stage 2: TPU fused kernels, int8 serving mode, same checkpoints
