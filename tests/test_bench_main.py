@@ -1,0 +1,75 @@
+"""bench.py driver-artifact contract: main() must emit ONE JSON line with
+the headline metric and all six families' throughput + three ratios, stay
+standing when a secondary child dies, and keep the best of the two headline
+samples (tunnel weather protection — BASELINE r5)."""
+
+import json
+
+import bench
+
+
+def _fake_children(values, fail=(), headline_seq=None):
+    calls = {"n": 0}
+
+    def run_child(model, attempts=2):
+        if model == "ltt" and headline_seq is not None:
+            v = headline_seq[min(calls["n"], len(headline_seq) - 1)]
+            calls["n"] += 1
+            return {"expl_per_sec": v, "batch": 384}
+        if model in fail:
+            raise RuntimeError(f"boom {model}")
+        return {"expl_per_sec": values[model], "batch": 8}
+
+    return run_child
+
+
+VALUES = {"ltt": 2600.0, "vanilla": 1450.0, "froyo": 3800.0,
+          "bert": 400.0, "ltt_bert": 670.0, "froyo_bert": 885.0}
+
+
+def test_main_emits_six_families_with_ratios(monkeypatch, capsys):
+    monkeypatch.setattr(bench, "_run_child", _fake_children(VALUES))
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert out["metric"] == "ltt_vit_base_224_explanations_per_sec_per_chip"
+    assert out["value"] == 2600.0
+    for fam in ("vanilla", "froyo", "bert", "ltt_bert", "froyo_bert"):
+        assert out[f"{fam}_expl_per_sec"] == VALUES[fam]
+        for ratio in ("vs_baseline", "vs_baseline_matched",
+                      "vs_ref_cpu_measured"):
+            assert out[f"{fam}_{ratio}"] > 0
+    # per-track cross-architecture anchoring: the vanilla family of each
+    # track IS its own baseline, so vs_baseline == vs_baseline_matched
+    assert out["vanilla_vs_baseline"] == out["vanilla_vs_baseline_matched"]
+    assert out["bert_vs_baseline"] == out["bert_vs_baseline_matched"]
+    # and the non-vanilla families' cross-architecture ratio exceeds their
+    # matched one (they do less work per explanation than the 3-tower)
+    assert out["ltt_bert_vs_baseline"] > out["ltt_bert_vs_baseline_matched"]
+
+
+def test_main_headline_keeps_best_of_two(monkeypatch, capsys):
+    monkeypatch.setattr(
+        bench, "_run_child",
+        _fake_children(VALUES, headline_seq=[2169.0, 2636.0]))
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["value"] == 2636.0
+
+    monkeypatch.setattr(
+        bench, "_run_child",
+        _fake_children(VALUES, headline_seq=[2636.0, 2169.0]))
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["value"] == 2636.0
+
+
+def test_main_survives_secondary_child_failure(monkeypatch, capsys):
+    monkeypatch.setattr(
+        bench, "_run_child",
+        _fake_children(VALUES, fail={"froyo_bert", "vanilla"}))
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["value"] == 2600.0  # headline stands
+    assert "froyo_bert_error" in out and "vanilla_error" in out
+    assert out["bert_expl_per_sec"] == 400.0  # surviving siblings reported
