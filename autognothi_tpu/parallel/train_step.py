@@ -73,7 +73,17 @@ def _make_teacher(
     playground/bench_train_breakdown.py).  With a mesh it runs under
     shard_map over the batch axis so the fused kernels execute per-shard
     on multi-chip (the GSPMD fallback would replicate a pallas_call behind
-    all-gathers; parallel.mesh.sharded_call)."""
+    all-gathers; parallel.mesh.sharded_call).
+
+    On the pp trainer's ("data", "pipe") mesh the batch still splits over
+    "data" ONLY, leaving each pipe pair computing identical teacher
+    forwards.  A joint ("data", "pipe") split (2x teacher compute at P=2)
+    was built and REVERTED in r5: the pipe->data reshard collective it
+    induces overlaps the pipeline's collective-permutes, and the XLA:CPU
+    thunk runtime DEADLOCKS on that program when the executable is loaded
+    from the persistent compile cache (rendezvous termination timeout —
+    freshly compiled it runs fine; minimal repro in BASELINE.md r5).
+    Revisit on real multi-chip hardware / a newer XLA."""
 
     def inner(srg_params: Params, xs, masks_bmp):
         b = masks_bmp.shape[0]

@@ -17,6 +17,28 @@ from typing import Iterator, Optional
 import jax
 
 
+def _host_fingerprint() -> str:
+    """Short digest of the host CPU's ISA feature set (+ arch), used to
+    scope the persistent compile cache per machine type."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    # sorted: flag ORDER varies across kernels, features
+                    # don't
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    digest = hashlib.sha256(
+        f"{platform.machine()}|{flags}".encode()).hexdigest()[:12]
+    return f"host-{digest}"
+
+
 def maybe_enable_compile_cache() -> Optional[str]:
     """Opt-in persistent XLA compilation cache (AUTOGNOTHI_COMPILE_CACHE).
 
@@ -34,6 +56,15 @@ def maybe_enable_compile_cache() -> Optional[str]:
             os.path.expanduser("~"), ".cache", "autognothi_tpu", "xla")
     else:
         cache_dir = os.path.expanduser(val)
+    # XLA:CPU AOT cache entries embed the COMPILING host's machine features
+    # (avx512/amx/...), and jax's cache key does not: on VMs that migrate
+    # between physical hosts, a later process loads an entry compiled for
+    # features it doesn't have — "Target machine feature ... is not
+    # supported on the host machine" followed by a hard abort mid-epoch
+    # (observed r5: SIGABRT in the test suite after a host migration).
+    # Scope the directory by a host-CPU fingerprint so each machine type
+    # keeps its own entries.
+    cache_dir = os.path.join(cache_dir, _host_fingerprint())
     pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
     redirecting = (jax.config.jax_compilation_cache_dir or "") not in (
         "", cache_dir)

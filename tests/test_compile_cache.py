@@ -8,6 +8,8 @@ contract: env parsing, config effects, and actual cache-entry writes.
 
 from __future__ import annotations
 
+import pathlib
+
 import jax
 
 from autognothi_tpu.utils.devices import maybe_enable_compile_cache
@@ -44,7 +46,13 @@ def test_cache_dir_created_and_populated(monkeypatch, tmp_path):
     try:
         cache = tmp_path / "xla_cache"
         monkeypatch.setenv("AUTOGNOTHI_COMPILE_CACHE", str(cache))
-        assert maybe_enable_compile_cache() == str(cache)
+        # the active dir is scoped by a host-CPU fingerprint: XLA:CPU AOT
+        # entries embed the compiling host's machine features, and loading
+        # one on a host without them hard-aborts (observed r5 after a VM
+        # host migration) — each machine type keeps its own entries
+        used = maybe_enable_compile_cache()
+        assert used.startswith(str(cache) + "/host-"), used
+        cache = pathlib.Path(used)
         assert cache.is_dir()
         assert jax.config.jax_compilation_cache_dir == str(cache)
 
