@@ -5,7 +5,20 @@ samples (tunnel weather protection — BASELINE r5)."""
 
 import json
 
+import pytest
+
 import bench
+
+
+@pytest.fixture(autouse=True)
+def _scope_bench_env(monkeypatch):
+    # bench.main() does os.environ.setdefault("AUTOGNOTHI_INT8", "1"),
+    # which leaked int8 mode into every later test in the process and
+    # broke test_mlp_block's fused-vs-unfused parity.  setenv (not
+    # delenv(raising=False), which records NOTHING when the var is unset)
+    # registers the original state for teardown AND pre-empts the
+    # setdefault inside main().
+    monkeypatch.setenv("AUTOGNOTHI_INT8", "0")
 
 
 def _fake_children(values, fail=(), headline_seq=None):
