@@ -30,6 +30,13 @@ P under check_vma=False.
 Composes with dp: the batch shards along "data" (each pipe rank sees its
 data shard replicated across "pipe"), so an N-device mesh splits
 (N // pipe) ways on batch and `pipe` ways on depth.
+
+Composes with tp: `make_pipe_mesh(model=T)` adds a third "model" axis.
+The GPipe schedule stays manual over data/pipe while "model" is left to
+GSPMD (`shard_map(axis_names={"data","pipe"})`): each stage's weight
+slabs carry the Megatron specs (parallel/mesh.param_pspec) on their
+hidden dims, and the partitioner inserts the per-block all-reduces inside
+every stage — full dp x pp x tp with no hand-written TP collectives.
 """
 
 from __future__ import annotations
@@ -47,34 +54,48 @@ from ..recipes.types import Params
 from .mesh import _smap
 
 
-def pp_config_from_env() -> Optional[Tuple[int, int]]:
+def pp_config_from_env() -> Optional[Tuple[int, int, int]]:
     """Opt-in trainer pipeline parallelism: AUTOGNOTHI_PP=P (>= 2) ->
-    (P, microbatches), with AUTOGNOTHI_PP_MICROBATCHES tuning the GPipe
-    microbatch count (default P — bubble fraction (P-1)/(2P-1)).  Unset,
+    (P, microbatches, tp), with AUTOGNOTHI_PP_MICROBATCHES tuning the GPipe
+    microbatch count (default P — bubble fraction (P-1)/(2P-1)) and
+    AUTOGNOTHI_PP_TP=T (default 1) adding Megatron tensor parallelism
+    INSIDE each pipeline stage over a third "model" mesh axis.  Unset,
     0 or 1 -> None (the sequential trainer path)."""
     raw = os.environ.get("AUTOGNOTHI_PP", "").strip()
     if raw in ("", "0", "1"):
         return None
     pipe = int(raw)
     mb = int(os.environ.get("AUTOGNOTHI_PP_MICROBATCHES", str(pipe)))
-    if pipe < 2 or mb < 1:
+    tp = int(os.environ.get("AUTOGNOTHI_PP_TP", "1"))
+    if pipe < 2 or mb < 1 or tp < 1:
         raise ValueError(
-            f"AUTOGNOTHI_PP={pipe} / AUTOGNOTHI_PP_MICROBATCHES={mb}: "
-            "pipe must be >= 2 and microbatches >= 1")
-    return pipe, mb
+            f"AUTOGNOTHI_PP={pipe} / AUTOGNOTHI_PP_MICROBATCHES={mb} / "
+            f"AUTOGNOTHI_PP_TP={tp}: pipe must be >= 2, microbatches and "
+            "tp >= 1")
+    return pipe, mb, tp
 
 
-def make_pipe_mesh(n_devices: Optional[int] = None, pipe: int = 2) -> Mesh:
-    """Mesh over ("data", "pipe").  pipe=1 degenerates to pure dp."""
+def make_pipe_mesh(n_devices: Optional[int] = None, pipe: int = 2,
+                   model: int = 1) -> Mesh:
+    """Mesh over ("data", "pipe") — or ("data", "pipe", "model") when
+    model > 1 (tensor parallelism inside each pipeline stage).  pipe=1
+    degenerates to pure dp.  Axis order puts "model" innermost so TP's
+    per-layer all-reduces ride the fastest ICI links."""
     devices = jax.devices()
     n = n_devices or len(devices)
-    if n % pipe != 0:
-        raise ValueError(f"{n} devices not divisible by pipe={pipe}")
+    if n % (pipe * model) != 0:
+        raise ValueError(
+            f"{n} devices not divisible by pipe={pipe}" +
+            (f" x model={model}" if model > 1 else ""))
     if n > len(devices):
         raise ValueError(
             f"requested a {n}-device mesh but only {len(devices)} device(s) "
             "are visible — shrink the mesh or raise "
             "xla_force_host_platform_device_count")
+    if model > 1:
+        grid = np.asarray(devices[:n]).reshape(n // (pipe * model), pipe,
+                                               model)
+        return Mesh(grid, ("data", "pipe", "model"))
     grid = np.asarray(devices[:n]).reshape(n // pipe, pipe)
     return Mesh(grid, ("data", "pipe"))
 
@@ -123,6 +144,15 @@ def pipelined_scan(
     mb = batch // (n_data * microbatches)
     perm = [(i, i + 1) for i in range(n_pipe - 1)]
 
+    # tp composition: on a mesh with extra (non-schedule) axes — "model" —
+    # the schedule stays manual over data/pipe and the extra axes are left
+    # to GSPMD (partial-manual shard_map).  That mode requires the VMA
+    # (varying-manual-axes) system: check_vma=True, with the scan carries
+    # explicitly pvary'd over "pipe" so their vma is loop-invariant.  The
+    # plain ("data", "pipe") mesh keeps check_vma=False (the AD-exact
+    # last-stage-slice contract documented above, unchanged since r4).
+    extra_axes = set(mesh.axis_names) - {"data", "pipe"}
+
     def per_device(slab, h_loc, side_loc):
         stage = jax.lax.axis_index("pipe")
         data_rank = (jax.lax.axis_index("data")
@@ -132,6 +162,9 @@ def pipelined_scan(
             lambda s: s.reshape(microbatches, mb, *s.shape[1:]), side_loc)
         zero = jnp.zeros_like(h_mbs[0])
         outputs0 = jnp.zeros_like(h_mbs)
+        if extra_axes:
+            zero = jax.lax.pcast(zero, "pipe", to="varying")
+            outputs0 = jax.lax.pcast(outputs0, "pipe", to="varying")
 
         def tick(carry, t):
             recv, outputs = carry
@@ -170,10 +203,19 @@ def pipelined_scan(
     side_specs = jax.tree.map(
         lambda s: P("data", *([None] * (jnp.asarray(s).ndim - 1))), side)
     out_spec = P("pipe", None, "data", *([None] * (h0.ndim - 1)))
+    # On a ("data", "pipe", "model") mesh the schedule stays manual over
+    # data/pipe while "model" is left to GSPMD (shard_map axis_names): the
+    # stage body's dense ops see their weight slabs model-sharded per the
+    # Megatron specs and the partitioner inserts the per-block all-reduces
+    # — TP composed INSIDE each pipeline stage, no hand-written collectives.
+    smap_kwargs = (
+        {"axis_names": frozenset({"data", "pipe"} & set(mesh.axis_names)),
+         "check_vma": True}
+        if extra_axes else {"check_vma": False})
     outputs = _smap()(
         per_device, mesh=mesh,
         in_specs=(slab_specs, h_spec, side_specs),
-        out_specs=out_spec, check_vma=False,
+        out_specs=out_spec, **smap_kwargs,
     )(stacked, h0, side)
     # global <P, M, n_data*mb, ...>; the last stage's block holds the result
     res = outputs[n_pipe - 1]
@@ -276,11 +318,28 @@ def split_encoder_params(
     leading layer axis and device_put stage-sharded along "pipe" (each rank
     materializes ONLY its L/P slab — the pp memory model); everything else
     replicated.  The pp train step keeps grads and optimizer moments in the
-    same layout, so per-rank weight+state memory scales 1/P with depth."""
+    same layout, so per-rank weight+state memory scales 1/P with depth.
+
+    On a mesh with a "model" axis (make_pipe_mesh(model=T)) the hidden dims
+    additionally carry the Megatron specs — stacked bricks are
+    (L/P, .../T) per device, and `rest` (embeddings, explainer_attn, heads)
+    gets the same specs under plain GSPMD; fails closed when a sharded dim
+    does not divide its mesh axis."""
     head = f"{prefix}.0."
     suffixes = [k[len(head):] for k in params if k.startswith(head)]
     if not suffixes:
         raise ValueError(f"split_encoder_params: no params under {prefix!r}")
+    tp = dict(mesh.shape).get("model", 1)
+    from .mesh import param_pspec
+
+    def _checked(name: str, shape, spec: P) -> P:
+        for dim, axis in zip(shape, spec):
+            if axis is not None and dim % mesh.shape[axis] != 0:
+                raise ValueError(
+                    f"split_encoder_params: {name} shape {tuple(shape)} "
+                    f"cannot shard {spec} over {axis}={mesh.shape[axis]}")
+        return spec
+
     stacked = {}
     for s in suffixes:
         # host-side np.stack, then ONE sharded transfer: device_put of a
@@ -290,12 +349,27 @@ def split_encoder_params(
         # 1/P init-memory model pp exists for.
         v = np.stack([np.asarray(params[f"{prefix}.{i}.{s}"])
                       for i in range(n_layers)])
-        stacked[s] = jax.device_put(
-            v, NamedSharding(mesh, P("pipe", *([None] * (v.ndim - 1)))))
-    rest = {
-        k: jax.device_put(v, NamedSharding(mesh, P()))
-        for k, v in params.items() if not k.startswith(f"{prefix}.")
-    }
+        if tp > 1:
+            # layer axis over "pipe", hidden dims over "model" per the
+            # Megatron specs — each device holds a (L/P, .../T) brick
+            spec = _checked(s, v.shape, P("pipe", *param_pspec(s, v.ndim - 1)))
+        else:
+            spec = P("pipe", *([None] * (v.ndim - 1)))
+        stacked[s] = jax.device_put(v, NamedSharding(mesh, spec))
+    if tp > 1:
+        # the non-encoder weights (embeddings, explainer_attn, heads) get
+        # the same Megatron specs under plain GSPMD — replicated when no
+        # rule matches
+        rest = {
+            k: jax.device_put(v, NamedSharding(mesh, _checked(
+                k, np.shape(v), param_pspec(k, np.ndim(v)))))
+            for k, v in params.items() if not k.startswith(f"{prefix}.")
+        }
+    else:
+        rest = {
+            k: jax.device_put(v, NamedSharding(mesh, P()))
+            for k, v in params.items() if not k.startswith(f"{prefix}.")
+        }
     return rest, stacked
 
 

@@ -7,9 +7,13 @@ backbone KL-distilled under coalition masks), and the explainer (THE hot
 loop — the one vanilla tower trained FULL-DEPTH from scratch, so its
 grads + Adam moments are the most depth-proportional state in the
 pipeline) — run with the encoder stage-sharded over a ("data", "pipe")
-mesh (parallel/pipeline.py): 1/P of the depth state per rank.  Vanilla
-tracks only; the LTT/froyo/duo stages train heads against a frozen trunk,
-so there is nothing depth-proportional to split.
+mesh (parallel/pipeline.py): 1/P of the depth state per rank.  With
+AUTOGNOTHI_PP_TP=T the mesh gains a "model" axis and each stage's layers
+additionally Megatron-shard their attention/MLP blocks T ways (GSPMD
+inside the manual data/pipe region — parallel/pipeline.pipelined_scan),
+composing dp x pp x tp in one step.  Vanilla tracks only; the
+LTT/froyo/duo stages train heads against a frozen trunk, so there is
+nothing depth-proportional to split.
 
 Checkpoints stay flat dicts (`to_flat` merges the slabs back), so resume,
 conversions, export and migration are pp-oblivious.  Dropout keys fold per
@@ -66,7 +70,7 @@ class PPContext(NamedTuple):
 
 def _pp_context(env, config, m_config, params, trainable,
                 pipe: int, microbatches: int, batch_size: int,
-                fwd_kind: str = "classifier") -> PPContext:
+                fwd_kind: str = "classifier", tp: int = 1) -> PPContext:
     kind = config.net.kind
     if kind not in ("vanilla_vit", "vanilla_bert"):
         raise ValueError(
@@ -79,7 +83,7 @@ def _pp_context(env, config, m_config, params, trainable,
         raise ValueError(
             f"AUTOGNOTHI_PP={pipe} does not divide "
             f"num_hidden_layers={n_layers}")
-    mesh = make_pipe_mesh(pipe=pipe)
+    mesh = make_pipe_mesh(pipe=pipe, model=tp)
     n_data = mesh.shape["data"]
     if batch_size % (n_data * microbatches) != 0:
         raise ValueError(
@@ -89,7 +93,8 @@ def _pp_context(env, config, m_config, params, trainable,
             "schedule sees")
     track = "vit" if kind == "vanilla_vit" else "bert"
     prefix = f"{track}.encoder.layers"
-    env.log(f"[[[ pipeline-parallel: {n_data} data x {pipe} pipe, "
+    env.log(f"[[[ pipeline-parallel: {n_data} data x {pipe} pipe"
+            + (f" x {tp} model" if tp > 1 else "") + ", "
             f"{microbatches} microbatches, {n_layers // pipe} layers/stage ]]]")
     rest, stacked = split_encoder_params(params, n_layers, mesh,
                                          prefix=prefix)
@@ -167,11 +172,12 @@ def _pp_context(env, config, m_config, params, trainable,
 
 
 def setup_pp_classifier(env, config, m_config, params, trainable,
-                        pipe: int, microbatches: int):
+                        pipe: int, microbatches: int, tp: int = 1):
     """-> (params, tx, opt_state, step, eval_fwd, place_batch, to_flat)
     with the sequential train_classifier step/eval signatures."""
     ctx = _pp_context(env, config, m_config, params, trainable,
-                      pipe, microbatches, config.train_classifier.batch_size)
+                      pipe, microbatches, config.train_classifier.batch_size,
+                      tp=tp)
 
     def loss_fn(p, xs, mask, labels, rng, ltt_active, weights):
         # same trainer discipline as the sequential path: quant + pallas
@@ -192,7 +198,7 @@ def setup_pp_classifier(env, config, m_config, params, trainable,
 
 
 def setup_pp_surrogate(env, config, m_config, params, cls_params, trainable,
-                       pipe: int, microbatches: int):
+                       pipe: int, microbatches: int, tp: int = 1):
     """-> (params, cls_params, tx, opt_state, step, eval_fwd, place_batch,
     to_flat) with the sequential train_surrogate step/eval signatures.  The
     frozen teacher stays the trainer's own sequential executable;
@@ -200,7 +206,8 @@ def setup_pp_surrogate(env, config, m_config, params, cls_params, trainable,
     from ..ops.shapley import loss_logits_kl_divergence
 
     ctx = _pp_context(env, config, m_config, params, trainable,
-                      pipe, microbatches, config.train_surrogate.batch_size)
+                      pipe, microbatches, config.train_surrogate.batch_size,
+                      tp=tp)
 
     def loss_fn(p, xs, mask, orig_ys, labels, rng, ltt_active, weights):
         with mesh_safe_pallas(), quant_override("none"):
@@ -223,7 +230,7 @@ def setup_pp_surrogate(env, config, m_config, params, cls_params, trainable,
 
 
 def setup_pp_explainer(env, config, m_config, params, srg_params, recipe,
-                       pipe: int, microbatches: int):
+                       pipe: int, microbatches: int, tp: int = 1):
     """-> (params, srg_params, tx, opt_state, step, eval_step, place_batch,
     to_flat) where step/eval_step carry parallel.train_step's
     make_explainer_{train,eval}_step signatures, so train_explainer's epoch
@@ -247,10 +254,20 @@ def setup_pp_explainer(env, config, m_config, params, srg_params, recipe,
     ctx = _pp_context(env, config, m_config, params,
                       recipe.trainable(m_config, "explainer"),
                       pipe, microbatches, config.train_explainer.batch_size,
-                      fwd_kind="explainer")
+                      fwd_kind="explainer", tp=tp)
     n_players = recipe.n_players(m_config)
     n_mask_samples = config.train_explainer.n_mask_samples
     teacher = _make_teacher(recipe, m_config, n_players, ctx.mesh)
+    if tp > 1:
+        # with a "model" axis the grad-free teacher runs plain GSPMD
+        # (_make_teacher's dp_only=False branch): Megatron-shard its frozen
+        # surrogate weights so the sweep partitions over "model" too instead
+        # of replicating the whole teacher per model rank
+        from ..parallel.mesh import shard_params
+
+        srg_params = shard_params(srg_params, ctx.mesh)
+    else:
+        srg_params = ctx.place_replicated(srg_params)
 
     def loss_fn(p, xs, masks_bmp, v_0, v_s, v_1, rng, weights):
         b = masks_bmp.shape[0]
@@ -293,5 +310,5 @@ def setup_pp_explainer(env, config, m_config, params, srg_params, recipe,
                           deterministic=True, rng=None)
         return loss_shapley(masks, surrogate_null, v_s, v_1, phi, weights)
 
-    return (ctx.params, ctx.place_replicated(srg_params), ctx.tx,
+    return (ctx.params, srg_params, ctx.tx,
             ctx.opt_state, step, eval_step, ctx.place_batch, ctx.to_flat)

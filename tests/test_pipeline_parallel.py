@@ -445,3 +445,115 @@ def test_pp_fail_closed(vit_setup):
         pipelined_vit_encoder(vp, cfg, h0, mask, mesh, microbatches=3)
     with pytest.raises(ValueError, match="not divisible by pipe"):
         make_pipe_mesh(8, pipe=3)
+
+
+# ------------------------------------------------- tp inside pp stages
+
+
+def test_pp_tp_mesh_and_shardings(vit_setup):
+    """make_pipe_mesh(model=T) -> ("data", "pipe", "model"); stacked slabs
+    carry the Megatron specs on their hidden dims (column-parallel out
+    features, row-parallel in features), so each device holds a
+    (L/P, .../T) brick; `rest` (incl. explainer_attn) gets the same specs
+    under plain GSPMD."""
+    cfg, p, _, _, _, _ = vit_setup
+    mesh = make_pipe_mesh(8, pipe=2, model=2)
+    assert mesh.axis_names == ("data", "pipe", "model")
+    assert dict(mesh.shape) == {"data": 2, "pipe": 2, "model": 2}
+    rest, stacked = split_encoder_params(p, cfg.num_hidden_layers, mesh)
+    spec = stacked["attention.self.query.weight"].sharding.spec
+    assert tuple(spec) == ("pipe", "model", None), spec
+    spec = stacked["attention.output.dense.weight"].sharding.spec
+    assert tuple(spec) == ("pipe", None, "model"), spec
+    spec = stacked["layernorm_before.weight"].sharding.spec
+    assert tuple(spec) == ("pipe", None), spec  # LN replicated over model
+    leaf = stacked["attention.self.query.weight"]
+    local = leaf.addressable_shards[0].data.shape
+    assert local == (cfg.num_hidden_layers // 2, cfg.hidden_size // 2,
+                     cfg.hidden_size), local
+
+
+def test_pp_tp_vit_classifier_fwd_parity(vit_setup):
+    """dp=2 x pp=2 x tp=2 on the 8-device mesh: the pipelined classifier
+    forward with model-sharded stages must match the sequential reference
+    (tolerance admits the TP all-reduce's float reassociation)."""
+    cfg, p, _, pixels, _, _ = vit_setup
+    from autognothi_tpu.models.vit import vit_classifier_fwd
+
+    mesh = make_pipe_mesh(8, pipe=2, model=2)
+    rest, stacked = split_encoder_params(p, cfg.num_hidden_layers, mesh)
+    ones = jnp.ones((8, cfg.n_patches + 1), jnp.float32)
+    probs = pp_vit_classifier_fwd(rest, stacked, cfg, pixels, ones, mesh,
+                                  microbatches=2)
+    ref, _ = vit_classifier_fwd(p, cfg, pixels, ones)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pp_tp_vit_explainer_fwd_parity(vit_setup):
+    """The hot tower's forward under dp x pp x tp: attributions match the
+    sequential explainer (backbone stage-sharded AND model-sharded; the
+    explainer_attn + head on `rest` TP via GSPMD)."""
+    from autognothi_tpu.models.vit import init_vit_explainer, vit_explainer_fwd
+    from autognothi_tpu.parallel.pipeline import pp_vit_explainer_fwd
+
+    cfg, _, _, pixels, _, _ = vit_setup
+    p = init_vit_explainer(jax.random.PRNGKey(8), cfg)
+    rs = np.random.RandomState(9)
+    grand = jnp.asarray(rs.randn(8, cfg.num_labels).astype(np.float32))
+    null = jnp.asarray(rs.randn(1, cfg.num_labels).astype(np.float32))
+    ones = jnp.ones((8, cfg.n_patches + 1), jnp.float32)
+
+    mesh = make_pipe_mesh(8, pipe=2, model=2)
+    rest, stacked = split_encoder_params(p, cfg.num_hidden_layers, mesh)
+    phi = pp_vit_explainer_fwd(rest, stacked, cfg, pixels, ones, grand, null,
+                               mesh, microbatches=2)
+    ref, _ = vit_explainer_fwd(p, cfg, pixels, ones, grand, null)
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pp_tp_train_step(vit_setup):
+    """The pp classifier train step on the 3-axis mesh: the compiled
+    program carries BOTH pipeline hops (collective-permute) and TP
+    all-reduces; the loss decreases; weight bricks keep their
+    ("pipe", "model", ...) layout through the update."""
+    cfg, p, _, pixels, _, _ = vit_setup
+    mesh = make_pipe_mesh(8, pipe=2, model=2)
+    rest, stacked = split_encoder_params(p, cfg.num_hidden_layers, mesh)
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init((rest, stacked))
+    step = make_pp_classifier_train_step(cfg, tx, mesh, microbatches=2)
+    rs = np.random.RandomState(2)
+    labels = jnp.asarray(rs.randint(0, cfg.num_labels, (8,)))
+    ones = jnp.ones((8, cfg.n_patches + 1), jnp.float32)
+
+    txt = step.lower(rest, stacked, opt_state, pixels, ones,
+                     labels).compile().as_text()
+    assert "collective-permute" in txt, "no pipeline hops compiled"
+    assert "all-reduce" in txt, "no TP all-reduces compiled"
+
+    losses = []
+    for _ in range(4):
+        rest, stacked, opt_state, loss = step(
+            rest, stacked, opt_state, pixels, ones, labels)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
+    spec = stacked["attention.self.query.weight"].sharding.spec
+    # trailing Nones are dropped in normalized specs — compare the prefix
+    assert tuple(spec)[:2] == ("pipe", "model"), spec
+
+
+def test_pp_tp_fail_closed():
+    with pytest.raises(ValueError, match="not divisible by pipe=2 x model=3"):
+        make_pipe_mesh(8, pipe=2, model=3)
+    # hidden dims that do not divide the model axis fail closed at split
+    # time (a silent GSPMD pad would corrupt the Megatron layout)
+    cfg = _mini_cfg().model_copy(update={"hidden_size": 36,
+                                         "intermediate_size": 72,
+                                         "num_attention_heads": 4})
+    p = init_vit_classifier(jax.random.PRNGKey(0), cfg)
+    mesh = make_pipe_mesh(8, pipe=1, model=8)
+    with pytest.raises(ValueError, match="cannot shard"):
+        split_encoder_params(p, cfg.num_hidden_layers, mesh)

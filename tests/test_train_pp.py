@@ -342,9 +342,93 @@ def test_pp_env_parse(monkeypatch):
         assert pp_config_from_env() is None
 
     monkeypatch.setenv("AUTOGNOTHI_PP", "2")
-    assert pp_config_from_env() == (2, 2)  # microbatches default to pipe
+    assert pp_config_from_env() == (2, 2, 1)  # microbatches default to pipe
     monkeypatch.setenv("AUTOGNOTHI_PP_MICROBATCHES", "4")
-    assert pp_config_from_env() == (2, 4)
+    assert pp_config_from_env() == (2, 4, 1)
+    monkeypatch.setenv("AUTOGNOTHI_PP_TP", "2")
+    assert pp_config_from_env() == (2, 4, 2)
+    monkeypatch.setenv("AUTOGNOTHI_PP_TP", "0")
+    with pytest.raises(ValueError):
+        pp_config_from_env()
+    monkeypatch.setenv("AUTOGNOTHI_PP_TP", "1")
     monkeypatch.setenv("AUTOGNOTHI_PP_MICROBATCHES", "0")
     with pytest.raises(ValueError):
         pp_config_from_env()
+
+
+def test_pp_tp_explainer_step_matches_sequential():
+    """Full 3-D composition on the production path: setup_pp_explainer with
+    tp=2 builds ONE jitted step (coalition sampling + Megatron-sharded
+    teacher sweep + pipelined fwd/bwd with TP inside each stage + AdamW)
+    over a ("data", "pipe", "model") = (2, 2, 2) mesh, and its loss must
+    match the sequential fused step on identical inputs and key (the only
+    differences are float reassociation from the pipeline microbatching and
+    the TP all-reduces)."""
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+
+    from autognothi_tpu.models.vit import (
+        init_vit_classifier,
+        init_vit_explainer,
+    )
+    from autognothi_tpu.parallel.train_step import make_explainer_train_step
+    from autognothi_tpu.pipeline.pp_trainer import setup_pp_explainer
+    from autognothi_tpu.pipeline.training import make_optimizer
+    from autognothi_tpu.recipes.vanilla_vit import vanilla_vit_recipe
+    from tests.test_pipeline_parallel import _mini_cfg
+
+    cfg = _mini_cfg()
+    recipe = vanilla_vit_recipe()
+    n_players = recipe.n_players(cfg)
+    n_mask_samples = 4
+    batch = 8
+    exp0 = {k: np.asarray(v) for k, v in init_vit_explainer(
+        jax.random.PRNGKey(21), cfg).items()}
+    srg0 = {k: np.asarray(v) for k, v in init_vit_classifier(
+        jax.random.PRNGKey(22), cfg).items()}
+    xs = np.random.RandomState(23).randn(
+        batch, 3, cfg.img_px_size, cfg.img_px_size).astype(np.float32)
+    nil = jnp.zeros((1, 3, cfg.img_px_size, cfg.img_px_size))
+    null, _ = jax.jit(lambda p, x, m: recipe.fw_surrogate(cfg, p, x, m))(
+        srg0, nil, jnp.ones((1, n_players), jnp.int32))
+    key = jax.random.PRNGKey(24)
+    lr = jnp.asarray(1e-3)
+    ltt_full = jnp.asarray(cfg.num_hidden_layers, jnp.int32)
+
+    # sequential reference: the fused single-program step
+    tx, opt0 = make_optimizer(exp0, recipe.trainable(cfg, "explainer"))
+    seq_step = make_explainer_train_step(recipe, cfg, n_players,
+                                         n_mask_samples, tx)
+    ones_mask = jax.tree.map(lambda _: jnp.ones(()), exp0)
+    _, _, seq_loss = seq_step(exp0, opt0, srg0, null, jnp.asarray(xs), key,
+                              lr, ones_mask, ltt_full)
+
+    # dp=2 x pp=2 x tp=2 through the production setup function
+    fake_env = SimpleNamespace(log=lambda *_: None)
+    fake_cfg = SimpleNamespace(
+        net=SimpleNamespace(kind="vanilla_vit"),
+        train_explainer=SimpleNamespace(batch_size=batch,
+                                        n_mask_samples=n_mask_samples),
+    )
+    (ep, srg_p, _etx, eopt, estep, eeval, eplace, to_flat) = \
+        setup_pp_explainer(fake_env, fake_cfg, cfg, exp0, srg0, recipe,
+                           2, 2, tp=2)
+    # teacher weights Megatron-sharded over "model" (not replicated)
+    tspec = srg_p["vit.encoder.layers.0.attention.self.query.weight"] \
+        .sharding.spec
+    assert "model" in tuple(tspec), tspec
+    pp_mask = jax.tree.map(lambda _: jnp.ones(()), ep)
+    ep2, eopt2, pp_loss = estep(ep, eopt, srg_p, null, eplace(jnp.asarray(xs)),
+                                key, lr, pp_mask, ltt_full)
+    np.testing.assert_allclose(float(pp_loss), float(seq_loss), rtol=5e-3)
+    # stacked weights keep the ("pipe", "model", ...) brick layout through
+    # the update, and the flat-dict checkpoint contract round-trips
+    spec = ep2[1]["attention.self.query.weight"].sharding.spec
+    assert tuple(spec)[:2] == ("pipe", "model"), spec
+    flat = to_flat(ep2)
+    assert set(flat) == set(exp0)
+    # eval step runs on the same layout
+    ev = eeval(ep2, srg_p, null, eplace(jnp.asarray(xs)), key, ltt_full)
+    assert np.isfinite(float(ev)), float(ev)
