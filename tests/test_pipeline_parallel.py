@@ -557,3 +557,31 @@ def test_pp_tp_fail_closed():
     mesh = make_pipe_mesh(8, pipe=1, model=8)
     with pytest.raises(ValueError, match="cannot shard"):
         split_encoder_params(p, cfg.num_hidden_layers, mesh)
+
+
+def test_pp_tp_bert_classifier_fwd_parity():
+    """Text track under dp x pp x tp: pp_bert_classifier_fwd with
+    model-sharded stage bricks matches the sequential bert_classifier_fwd."""
+    from autognothi_tpu.models.bert import (
+        bert_classifier_fwd,
+        init_bert_classifier,
+    )
+    from autognothi_tpu.parallel.pipeline import pp_bert_classifier_fwd
+
+    cfg = _mini_bert_cfg()
+    p = init_bert_classifier(jax.random.PRNGKey(4), cfg)
+    rs = np.random.RandomState(6)
+    ids = jnp.asarray(rs.randint(0, 64, (8, 12)))
+    attn = jnp.ones((8, 12), jnp.int32)
+    toktype = jnp.zeros((8, 12), jnp.int32)
+
+    mesh = make_pipe_mesh(8, pipe=2, model=2)
+    rest, stacked = split_encoder_params(
+        p, cfg.num_hidden_layers, mesh, prefix="bert.encoder.layers")
+    spec = stacked["attention.self.query.weight"].sharding.spec
+    assert tuple(spec) == ("pipe", "model", None), spec
+    probs = pp_bert_classifier_fwd(rest, stacked, cfg, ids, attn, toktype,
+                                   mesh, microbatches=2)
+    ref, _ = bert_classifier_fwd(p, cfg, ids, attn, toktype)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
