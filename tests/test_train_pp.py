@@ -19,6 +19,24 @@ from autognothi_tpu.pipeline.resources import load_params_file
 from tests.test_train_all_e2e import MINI_VIT_HPARAMS
 
 
+@pytest.fixture(autouse=True)
+def _no_persistent_cache():
+    """Compile this module's programs fresh: the XLA:CPU thunk runtime can
+    ABORT (silent SIGABRT mid-device_get) when executing a CACHE-LOADED
+    executable that mixes grad all-reduces with pipeline collective-permutes
+    — the pp trainer steps here are exactly that shape.  Measured (r5): the
+    same test passes fresh-compiled and aborts on a same-host cache hit,
+    reproducibly; the r5 joint-teacher-sharding revert hit the same class
+    (BASELINE.md).  Freshly compiled programs are unaffected, so only this
+    module opts out of the suite-wide persistent cache (conftest.py)."""
+    import jax
+
+    old = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", old)
+
+
 def _mk_exp(root: pathlib.Path, name: str, hparams: dict) -> pathlib.Path:
     exp = root / name
     exp.mkdir(parents=True)
