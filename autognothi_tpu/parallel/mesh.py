@@ -81,25 +81,34 @@ def param_pspec(name: str, ndim: int) -> P:
     return P(*([None] * ndim)) if ndim else P()
 
 
-def shard_params(params: Params, mesh: Mesh) -> Params:
-    """Place a flat param dict onto the mesh per `param_pspec`.
-
-    Fails closed (ValueError naming every offending weight) when a sharded
+def check_shardable(items, mesh: Mesh) -> None:
+    """Fail closed (ValueError naming EVERY offending weight) when a sharded
     dim does not divide its mesh axis — device_put would otherwise surface
     an opaque runtime error, and GSPMD must never pad a weight silently.
-    Divisibility gates the flagship dims: hidden 768 / heads 12 / ladder 96
-    all divide TP in {2, 3, 4, 6, 12}."""
+    `items`: iterable of (name, shape, spec).  Shared by shard_params and
+    parallel.pipeline.split_encoder_params (one source of truth for the
+    fail-closed TP contract)."""
     bad = []
-    for name, value in params.items():
-        spec = param_pspec(name, value.ndim)
-        for dim, axis in zip(value.shape, spec):
+    for name, shape, spec in items:
+        for dim, axis in zip(shape, spec):
             if axis is not None and dim % mesh.shape[axis] != 0:
-                bad.append(f"{name}: shape {tuple(value.shape)} cannot "
+                bad.append(f"{name}: shape {tuple(shape)} cannot "
                            f"shard {spec} over {axis}={mesh.shape[axis]}")
     if bad:
         raise ValueError(
             "tensor-parallel sharding does not divide the mesh — pick a "
             "model_parallel that divides these dims:\n  " + "\n  ".join(bad))
+
+
+def shard_params(params: Params, mesh: Mesh) -> Params:
+    """Place a flat param dict onto the mesh per `param_pspec`.
+
+    Fails closed via check_shardable.  Divisibility gates the flagship
+    dims: hidden 768 / heads 12 / ladder 96 all divide TP in
+    {2, 3, 4, 6, 12}."""
+    check_shardable(
+        ((name, value.shape, param_pspec(name, value.ndim))
+         for name, value in params.items()), mesh)
     out: Params = {}
     for name, value in params.items():
         spec = param_pspec(name, value.ndim)

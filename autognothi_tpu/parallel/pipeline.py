@@ -62,11 +62,20 @@ def pp_config_from_env() -> Optional[Tuple[int, int, int]]:
     INSIDE each pipeline stage over a third "model" mesh axis.  Unset,
     0 or 1 -> None (the sequential trainer path)."""
     raw = os.environ.get("AUTOGNOTHI_PP", "").strip()
+    tp_raw = os.environ.get("AUTOGNOTHI_PP_TP", "").strip()
     if raw in ("", "0", "1"):
+        if tp_raw not in ("", "0", "1"):
+            # fail closed, don't silently train without the requested TP:
+            # PP_TP shards INSIDE pipeline stages, so it needs AUTOGNOTHI_PP
+            raise ValueError(
+                f"AUTOGNOTHI_PP_TP={tp_raw} requires AUTOGNOTHI_PP>=2 — "
+                "tensor parallelism composes inside the pipeline stages; "
+                "for TP without PP use the trainer's Megatron path "
+                "(parallel/mesh.py)")
         return None
     pipe = int(raw)
     mb = int(os.environ.get("AUTOGNOTHI_PP_MICROBATCHES", str(pipe)))
-    tp = int(os.environ.get("AUTOGNOTHI_PP_TP", "1"))
+    tp = int(tp_raw) if tp_raw else 1
     if pipe < 2 or mb < 1 or tp < 1:
         raise ValueError(
             f"AUTOGNOTHI_PP={pipe} / AUTOGNOTHI_PP_MICROBATCHES={mb} / "
@@ -330,45 +339,53 @@ def split_encoder_params(
     if not suffixes:
         raise ValueError(f"split_encoder_params: no params under {prefix!r}")
     tp = dict(mesh.shape).get("model", 1)
-    from .mesh import param_pspec
+    from .mesh import check_shardable, param_pspec
 
-    def _checked(name: str, shape, spec: P) -> P:
-        for dim, axis in zip(shape, spec):
-            if axis is not None and dim % mesh.shape[axis] != 0:
-                raise ValueError(
-                    f"split_encoder_params: {name} shape {tuple(shape)} "
-                    f"cannot shard {spec} over {axis}={mesh.shape[axis]}")
-        return spec
-
-    stacked = {}
-    for s in suffixes:
+    def stack_suffix(s: str) -> np.ndarray:
         # host-side np.stack, then ONE sharded transfer: device_put of a
         # host array against P("pipe", ...) ships each rank only its L/P
         # slab.  NOT models.common.stack_layer_params: its jnp.stack would
         # materialize the full depth on a single device first, breaking the
         # 1/P init-memory model pp exists for.
-        v = np.stack([np.asarray(params[f"{prefix}.{i}.{s}"])
-                      for i in range(n_layers)])
-        if tp > 1:
-            # layer axis over "pipe", hidden dims over "model" per the
-            # Megatron specs — each device holds a (L/P, .../T) brick
-            spec = _checked(s, v.shape, P("pipe", *param_pspec(s, v.ndim - 1)))
-        else:
-            spec = P("pipe", *([None] * (v.ndim - 1)))
-        stacked[s] = jax.device_put(v, NamedSharding(mesh, spec))
+        return np.stack([np.asarray(params[f"{prefix}.{i}.{s}"])
+                         for i in range(n_layers)])
+
+    rest_items = [(k, v) for k, v in params.items()
+                  if not k.startswith(f"{prefix}.")]
     if tp > 1:
-        # the non-encoder weights (embeddings, explainer_attn, heads) get
-        # the same Megatron specs under plain GSPMD — replicated when no
-        # rule matches
+        # layer axis over "pipe", hidden dims over "model" per the Megatron
+        # specs — each device holds a (L/P, .../T) brick; the non-encoder
+        # weights (embeddings, explainer_attn, heads) get the same specs
+        # under plain GSPMD (replicated when no rule matches).  Fail closed
+        # on every non-dividing dim at once (mesh.check_shardable).
+        stacks = {s: stack_suffix(s) for s in suffixes}
+        stacked_specs = {
+            s: P("pipe", *param_pspec(s, v.ndim - 1))
+            for s, v in stacks.items()
+        }
+        rest_specs = {k: param_pspec(k, np.ndim(v)) for k, v in rest_items}
+        check_shardable(
+            [(f"{prefix}.*.{s}", v.shape, stacked_specs[s])
+             for s, v in stacks.items()]
+            + [(k, np.shape(v), rest_specs[k]) for k, v in rest_items],
+            mesh)
+        stacked = {
+            s: jax.device_put(v, NamedSharding(mesh, stacked_specs[s]))
+            for s, v in stacks.items()
+        }
         rest = {
-            k: jax.device_put(v, NamedSharding(mesh, _checked(
-                k, np.shape(v), param_pspec(k, np.ndim(v)))))
-            for k, v in params.items() if not k.startswith(f"{prefix}.")
+            k: jax.device_put(v, NamedSharding(mesh, rest_specs[k]))
+            for k, v in rest_items
         }
     else:
+        stacked = {}
+        for s in suffixes:
+            v = stack_suffix(s)
+            stacked[s] = jax.device_put(
+                v, NamedSharding(mesh, P("pipe", *([None] * (v.ndim - 1)))))
         rest = {
             k: jax.device_put(v, NamedSharding(mesh, P()))
-            for k, v in params.items() if not k.startswith(f"{prefix}.")
+            for k, v in rest_items
         }
     return rest, stacked
 

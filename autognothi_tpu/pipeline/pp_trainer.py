@@ -202,12 +202,23 @@ def setup_pp_surrogate(env, config, m_config, params, cls_params, trainable,
     """-> (params, cls_params, tx, opt_state, step, eval_fwd, place_batch,
     to_flat) with the sequential train_surrogate step/eval signatures.  The
     frozen teacher stays the trainer's own sequential executable;
-    `cls_params` comes back replicated onto the pipe mesh for it."""
+    `cls_params` comes back placed on the pipe mesh for it — replicated, or
+    Megatron-sharded over "model" when tp > 1."""
     from ..ops.shapley import loss_logits_kl_divergence
 
     ctx = _pp_context(env, config, m_config, params, trainable,
                       pipe, microbatches, config.train_surrogate.batch_size,
                       tp=tp)
+    if tp > 1:
+        # the frozen classifier teacher runs GSPMD outside the pipeline:
+        # Megatron-shard its weights over "model" so each model rank holds
+        # and computes 1/T of the teacher instead of the whole copy (same
+        # treatment as the explainer teacher below)
+        from ..parallel.mesh import shard_params
+
+        cls_params = shard_params(cls_params, ctx.mesh)
+    else:
+        cls_params = ctx.place_replicated(cls_params)
 
     def loss_fn(p, xs, mask, orig_ys, labels, rng, ltt_active, weights):
         with mesh_safe_pallas(), quant_override("none"):
@@ -225,7 +236,7 @@ def setup_pp_surrogate(env, config, m_config, params, cls_params, trainable,
                 loss_logits_kl_divergence(orig_ys, adapt_ys, weights),
                 cross_entropy_on_probs(adapt_ys, labels, weights))
 
-    return (ctx.params, ctx.place_replicated(cls_params), ctx.tx,
+    return (ctx.params, cls_params, ctx.tx,
             ctx.opt_state, step, jax.jit(_eval), ctx.place_batch, ctx.to_flat)
 
 

@@ -24,6 +24,20 @@ import optax
 import pytest
 
 from autognothi_tpu.models.common import stack_layer_params, subdict
+
+
+@pytest.fixture(autouse=True)
+def _no_persistent_cache():
+    """Compile fresh: the XLA:CPU thunk runtime can SIGABRT executing a
+    CACHE-LOADED executable that mixes all-reduces with collective-permutes
+    (measured on the pp surrogate trainer step — see test_train_pp.py's
+    identical fixture and BASELINE.md r5).  This module's train-step tests
+    compile exactly that program shape, so it opts out of the suite-wide
+    persistent cache too."""
+    old = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", old)
 from autognothi_tpu.models.vit import (
     VanillaViTConfig,
     init_vit_classifier,
@@ -515,23 +529,37 @@ def test_pp_tp_vit_explainer_fwd_parity(vit_setup):
 
 def test_pp_tp_train_step(vit_setup):
     """The pp classifier train step on the 3-axis mesh: the compiled
-    program carries BOTH pipeline hops (collective-permute) and TP
-    all-reduces; the loss decreases; weight bricks keep their
+    program carries BOTH pipeline hops (collective-permute) and MORE
+    all-reduces than the same step at tp=1 (grad syncs over "data" exist
+    either way, so a bare all-reduce>0 check would pass even if GSPMD
+    silently replicated the bricks — the count delta pins actual TP
+    partitioning); the loss decreases; weight bricks keep their
     ("pipe", "model", ...) layout through the update."""
+    import re
+
     cfg, p, _, pixels, _, _ = vit_setup
-    mesh = make_pipe_mesh(8, pipe=2, model=2)
-    rest, stacked = split_encoder_params(p, cfg.num_hidden_layers, mesh)
-    tx = optax.adamw(1e-3)
-    opt_state = tx.init((rest, stacked))
-    step = make_pp_classifier_train_step(cfg, tx, mesh, microbatches=2)
     rs = np.random.RandomState(2)
     labels = jnp.asarray(rs.randint(0, cfg.num_labels, (8,)))
     ones = jnp.ones((8, cfg.n_patches + 1), jnp.float32)
+    tx = optax.adamw(1e-3)
 
-    txt = step.lower(rest, stacked, opt_state, pixels, ones,
-                     labels).compile().as_text()
+    def compile_step(mesh):
+        rest, stacked = split_encoder_params(p, cfg.num_hidden_layers, mesh)
+        opt_state = tx.init((rest, stacked))
+        step = make_pp_classifier_train_step(cfg, tx, mesh, microbatches=2)
+        txt = step.lower(rest, stacked, opt_state, pixels, ones,
+                         labels).compile().as_text()
+        return rest, stacked, opt_state, step, txt
+
+    _, _, _, _, txt1 = compile_step(make_pipe_mesh(4, pipe=2))
+    mesh = make_pipe_mesh(8, pipe=2, model=2)
+    rest, stacked, opt_state, step, txt = compile_step(mesh)
     assert "collective-permute" in txt, "no pipeline hops compiled"
-    assert "all-reduce" in txt, "no TP all-reduces compiled"
+    n_ar1 = len(re.findall("all-reduce", txt1))
+    n_ar = len(re.findall("all-reduce", txt))
+    assert n_ar > n_ar1, (
+        f"tp=2 compiled no additional all-reduces over tp=1 "
+        f"({n_ar} vs {n_ar1}) — bricks likely replicated")
 
     losses = []
     for _ in range(4):

@@ -363,6 +363,8 @@ def test_pp_env_parse(monkeypatch):
     assert pp_config_from_env() == (2, 2, 1)  # microbatches default to pipe
     monkeypatch.setenv("AUTOGNOTHI_PP_MICROBATCHES", "4")
     assert pp_config_from_env() == (2, 4, 1)
+    monkeypatch.setenv("AUTOGNOTHI_PP_TP", "")  # env VAR= idiom == unset
+    assert pp_config_from_env() == (2, 4, 1)
     monkeypatch.setenv("AUTOGNOTHI_PP_TP", "2")
     assert pp_config_from_env() == (2, 4, 2)
     monkeypatch.setenv("AUTOGNOTHI_PP_TP", "0")
@@ -371,6 +373,12 @@ def test_pp_env_parse(monkeypatch):
     monkeypatch.setenv("AUTOGNOTHI_PP_TP", "1")
     monkeypatch.setenv("AUTOGNOTHI_PP_MICROBATCHES", "0")
     with pytest.raises(ValueError):
+        pp_config_from_env()
+    # PP_TP without PP must fail closed, not silently train without TP
+    monkeypatch.delenv("AUTOGNOTHI_PP", raising=False)
+    monkeypatch.delenv("AUTOGNOTHI_PP_MICROBATCHES", raising=False)
+    monkeypatch.setenv("AUTOGNOTHI_PP_TP", "4")
+    with pytest.raises(ValueError, match="requires AUTOGNOTHI_PP"):
         pp_config_from_env()
 
 
