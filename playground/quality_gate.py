@@ -193,12 +193,20 @@ def main() -> None:
                          "device mesh) — proves PP-trained checkpoints are "
                          "production-indistinguishable through the full "
                          "hardware faithfulness gate (vanilla tracks only)")
+    ap.add_argument("--tp", type=int, default=0,
+                    help="with --pp: compose Megatron tensor parallelism "
+                         "inside each pipeline stage (AUTOGNOTHI_PP_TP=<T> "
+                         "— the full dp x pp x tp training composition)")
     args = ap.parse_args()
 
     if args.pp and args.net not in ("vanilla_vit", "vanilla_bert"):
         raise SystemExit("--pp gates the vanilla tracks (pipeline "
                          "parallelism covers full-tower training only)")
-    tag = f"_pp{args.pp}" if args.pp else ""
+    if args.tp and not args.pp:
+        raise SystemExit("--tp composes inside pipeline stages: use with "
+                         "--pp")
+    tag = (f"_pp{args.pp}" if args.pp else "") + \
+        (f"_tp{args.tp}" if args.tp else "")
     exp = pathlib.Path(args.exp or f"/tmp/quality_gate_{args.net}{tag}")
     faith = exp / ".reports" / "faithfulness.json"
     cpu_ref = exp / ".reports" / "faithfulness_cpu_fp32.json"
@@ -267,6 +275,8 @@ def main() -> None:
                 "AUTOGNOTHI_PP": str(args.pp),
                 "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
             })
+            if args.tp:
+                train_env["AUTOGNOTHI_PP_TP"] = str(args.tp)
         (exp / ".hparams.json").write_text(
             json.dumps(hp, indent=1), encoding="utf-8"
         )
