@@ -90,6 +90,18 @@ def _bench_model(model: str) -> None:
     import numpy as np
 
     from autognothi_tpu.models.common import cast_tree
+    from autognothi_tpu.utils.devices import maybe_enable_compile_cache
+
+    # persistent compile cache: a COLD seven-child bench is ~60+ min of
+    # tunnel compiles (measured r5) — long enough to risk the driver's
+    # budget and multiply the wedge exposure window.  The cache only
+    # skips compilation; the measured steady-state throughput runs AFTER
+    # the warmup iterations either way (opt out: AUTOGNOTHI_COMPILE_CACHE=0).
+    os.environ.setdefault(
+        "AUTOGNOTHI_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "autognothi_tpu",
+                     "bench_xla"))
+    maybe_enable_compile_cache()
 
     # batch knees measured on the chip: vanilla 256 (r1 sweep, flat past);
     # LTT 384 (r3 sweep: 2475@128, 2586@256, 2623@384, 2629@512); froyo 512
