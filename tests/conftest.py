@@ -11,9 +11,18 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_timeout_seconds" not in flags:
+    # XLA:CPU's collective rendezvous LOG(FATAL)s the whole process when a
+    # participant does not arrive within this timeout (default ~30s).  On
+    # this 1-core host, 8 virtual devices' threads run heavily
+    # oversubscribed, and the pp trainer steps (ppermute + all-reduce mixes)
+    # can legitimately keep a participant busy past the default mid-suite —
+    # observed as flaky silent SIGABRTs in test_train_pp (r5, BASELINE.md).
+    # A true deadlock now surfaces as that test hanging until the suite
+    # timeout (attributable) instead of killing pytest with no report.
+    flags = (flags + " --xla_cpu_collective_timeout_seconds=1200").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
