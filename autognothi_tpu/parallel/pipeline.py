@@ -357,21 +357,25 @@ def split_encoder_params(
         # specs — each device holds a (L/P, .../T) brick; the non-encoder
         # weights (embeddings, explainer_attn, heads) get the same specs
         # under plain GSPMD (replicated when no rule matches).  Fail closed
-        # on every non-dividing dim at once (mesh.check_shardable).
-        stacks = {s: stack_suffix(s) for s in suffixes}
-        stacked_specs = {
-            s: P("pipe", *param_pspec(s, v.ndim - 1))
-            for s, v in stacks.items()
-        }
+        # on every non-dividing dim at once (mesh.check_shardable), from
+        # shapes alone — stacks are materialized one at a time afterwards
+        # so host staging stays one suffix deep.
+        stacked_specs = {}
+        stacked_shapes = {}
+        for s in suffixes:
+            leaf = params[f"{prefix}.0.{s}"]
+            stacked_shapes[s] = (n_layers, *np.shape(leaf))
+            stacked_specs[s] = P("pipe", *param_pspec(s, np.ndim(leaf)))
         rest_specs = {k: param_pspec(k, np.ndim(v)) for k, v in rest_items}
         check_shardable(
-            [(f"{prefix}.*.{s}", v.shape, stacked_specs[s])
-             for s, v in stacks.items()]
+            [(f"{prefix}.*.{s}", stacked_shapes[s], stacked_specs[s])
+             for s in suffixes]
             + [(k, np.shape(v), rest_specs[k]) for k, v in rest_items],
             mesh)
         stacked = {
-            s: jax.device_put(v, NamedSharding(mesh, stacked_specs[s]))
-            for s, v in stacks.items()
+            s: jax.device_put(stack_suffix(s),
+                              NamedSharding(mesh, stacked_specs[s]))
+            for s in suffixes
         }
         rest = {
             k: jax.device_put(v, NamedSharding(mesh, rest_specs[k]))
