@@ -338,6 +338,27 @@ def split_encoder_params(
     suffixes = [k[len(head):] for k in params if k.startswith(head)]
     if not suffixes:
         raise ValueError(f"split_encoder_params: no params under {prefix!r}")
+    # fail closed on ragged layer stacks: every {prefix}.* key must be one
+    # of layer 0's suffixes at a layer index < n_layers — anything else
+    # would be silently DROPPED from (rest, stacked) and vanish from the
+    # flat dict after merge_encoder_params (checkpoint data loss)
+    expected = {f"{prefix}.{i}.{s}"
+                for i in range(n_layers) for s in suffixes}
+    stray = [k for k in params
+             if k.startswith(f"{prefix}.") and k not in expected]
+    if stray:
+        raise ValueError(
+            "split_encoder_params: keys under "
+            f"{prefix!r} do not form a dense {n_layers}-layer stack of "
+            f"layer 0's suffixes — refusing to silently drop: "
+            + ", ".join(sorted(stray)[:8])
+            + ("..." if len(stray) > 8 else ""))
+    missing = [k for k in expected if k not in params]
+    if missing:
+        raise ValueError(
+            "split_encoder_params: layer stack is missing "
+            + ", ".join(sorted(missing)[:8])
+            + ("..." if len(missing) > 8 else ""))
     tp = dict(mesh.shape).get("model", 1)
     from .mesh import check_shardable, param_pspec
 

@@ -273,7 +273,13 @@ def main() -> None:
                     hp[k]["batch_size"] = 8
             train_env.update({
                 "AUTOGNOTHI_PP": str(args.pp),
-                "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+                # raised collective-rendezvous timeout + no persistent
+                # cache: the pp steps' ppermute + all-reduce executables
+                # can otherwise SIGABRT on this oversubscribed 8-virtual-
+                # device host (tests/conftest.py rationale, BASELINE r5)
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=8 "
+                             "--xla_cpu_collective_timeout_seconds=1200",
+                "AUTOGNOTHI_COMPILE_CACHE": "0",
             })
             if args.tp:
                 train_env["AUTOGNOTHI_PP_TP"] = str(args.tp)

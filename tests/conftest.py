@@ -19,8 +19,9 @@ if "xla_cpu_collective_timeout_seconds" not in flags:
     # oversubscribed, and the pp trainer steps (ppermute + all-reduce mixes)
     # can legitimately keep a participant busy past the default mid-suite —
     # observed as flaky silent SIGABRTs in test_train_pp (r5, BASELINE.md).
-    # A true deadlock now surfaces as that test hanging until the suite
-    # timeout (attributable) instead of killing pytest with no report.
+    # A true deadlock still aborts eventually — but only after a 20-min
+    # stall that timestamps/ps attribute to the stuck test, instead of a
+    # 30s window that reads as a random mid-suite death.
     flags = (flags + " --xla_cpu_collective_timeout_seconds=1200").strip()
 os.environ["XLA_FLAGS"] = flags
 

@@ -24,20 +24,6 @@ import optax
 import pytest
 
 from autognothi_tpu.models.common import stack_layer_params, subdict
-
-
-@pytest.fixture(autouse=True)
-def _no_persistent_cache():
-    """Compile fresh: the XLA:CPU thunk runtime can SIGABRT executing a
-    CACHE-LOADED executable that mixes all-reduces with collective-permutes
-    (measured on the pp surrogate trainer step — see test_train_pp.py's
-    identical fixture and BASELINE.md r5).  This module's train-step tests
-    compile exactly that program shape, so it opts out of the suite-wide
-    persistent cache too."""
-    old = jax.config.jax_enable_compilation_cache
-    jax.config.update("jax_enable_compilation_cache", False)
-    yield
-    jax.config.update("jax_enable_compilation_cache", old)
 from autognothi_tpu.models.vit import (
     VanillaViTConfig,
     init_vit_classifier,
@@ -53,6 +39,20 @@ from autognothi_tpu.parallel.pipeline import (
     pp_vit_classifier_fwd,
     split_encoder_params,
 )
+
+
+@pytest.fixture(autouse=True)
+def _no_persistent_cache():
+    """Compile fresh: the XLA:CPU thunk runtime can SIGABRT executing a
+    CACHE-LOADED executable that mixes all-reduces with collective-permutes
+    (measured on the pp surrogate trainer step — see test_train_pp.py's
+    identical fixture and BASELINE.md r5).  This module's train-step tests
+    compile exactly that program shape, so it opts out of the suite-wide
+    persistent cache too."""
+    old = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", old)
 
 
 def _mini_cfg(layers=4):
@@ -613,3 +613,19 @@ def test_pp_tp_bert_classifier_fwd_parity():
     ref, _ = bert_classifier_fwd(p, cfg, ids, attn, toktype)
     np.testing.assert_allclose(np.asarray(probs), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_split_encoder_params_fails_closed_on_ragged_stack(vit_setup):
+    """Keys under the prefix that do not form a dense n_layers stack of
+    layer 0's suffixes must raise — split/merge would otherwise silently
+    DROP them from the flat checkpoint (data loss)."""
+    cfg, p, _, _, _, _ = vit_setup
+    mesh = make_pipe_mesh(8, pipe=2)
+    stray = dict(p)
+    stray["vit.encoder.layers.3.extra.weight"] = np.zeros((2,), np.float32)
+    with pytest.raises(ValueError, match="refusing to silently drop"):
+        split_encoder_params(stray, cfg.num_hidden_layers, mesh)
+    gap = {k: v for k, v in p.items()
+           if k != "vit.encoder.layers.2.attention.self.query.weight"}
+    with pytest.raises(ValueError, match="missing"):
+        split_encoder_params(gap, cfg.num_hidden_layers, mesh)
