@@ -74,8 +74,10 @@ def measure_param_scaling():
     cfg = _cfg()
     params = init_vit_classifier(jax.random.PRNGKey(0), cfg)
     rows = []
-    for pipe in (1, 2, 3, 4):
-        mesh = make_pipe_mesh(pipe, pipe=pipe)  # data=1: pure depth split
+    # (pipe, tp): pure depth splits P in {1..4}, plus the 3-D composition
+    # (pipe x model bricks — per-rank stack bytes must drop 1/(P*T))
+    for pipe, tp in ((1, 1), (2, 1), (3, 1), (4, 1), (2, 2), (2, 4)):
+        mesh = make_pipe_mesh(pipe * tp, pipe=pipe, model=tp)  # data=1
         rest, stacked = split_encoder_params(params, cfg.num_hidden_layers,
                                              mesh)
         tx = optax.adamw(1e-3)
@@ -89,15 +91,15 @@ def measure_param_scaling():
         stacked_b = per_device_bytes(stacked, dev)
         opt_b = per_device_bytes(opt, dev)
         rest_b = per_device_bytes(rest, dev)
-        rows.append((pipe, stacked_b, opt_b, rest_b,
+        rows.append((pipe, tp, stacked_b, opt_b, rest_b,
                      stacked_b + opt_b + rest_b))
     print("\n== per-rank weight + opt-state bytes (12-layer mini, post-step)")
-    print(f"{'P':>2} {'stack':>10} {'opt':>10} {'rest(repl)':>10} "
-          f"{'total':>10} {'stack+opt vs P=1':>18}")
-    base = rows[0][1] + rows[0][2]
-    for pipe, sb, ob, rb, tot in rows:
-        print(f"{pipe:>2} {sb:>10} {ob:>10} {rb:>10} {tot:>10} "
-              f"{(sb + ob) / base:>17.4f}")
+    print(f"{'P':>2} {'T':>2} {'stack':>10} {'opt':>10} {'rest':>10} "
+          f"{'total':>10} {'stack+opt vs P=T=1':>19}")
+    base = rows[0][2] + rows[0][3]
+    for pipe, tp, sb, ob, rb, tot in rows:
+        print(f"{pipe:>2} {tp:>2} {sb:>10} {ob:>10} {rb:>10} {tot:>10} "
+              f"{(sb + ob) / base:>18.4f}")
     return rows
 
 
