@@ -195,27 +195,58 @@ def test_pp_exact_resume_is_bit_identical(tmp_path, monkeypatch):
             np.asarray(pa[k]), np.asarray(pb[k]), err_msg=k)
 
 
+def _train_surrogate_subprocess(exp: pathlib.Path, pp) -> None:
+    """Run train_surrogate in a CHILD interpreter, retried once.
+
+    The pp surrogate step is where the XLA:CPU native abort strikes when it
+    strikes (BASELINE r5: flaky silent SIGABRT mid-suite; isolated runs
+    always pass; neither the cache opt-out nor the raised collective
+    timeout fully eliminated it).  In-process, that abort kills pytest with
+    no report; in a child it becomes an attributable non-zero exit, and one
+    retry absorbs the flake the way bench.py's child retry does."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "from autognothi_tpu.pipeline.env import ExpEnv;"
+        "from autognothi_tpu.pipeline.train_surrogate import train_surrogate;"
+        f"train_surrogate(ExpEnv({str(exp)!r}))"
+    )
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="")
+    env.pop("AUTOGNOTHI_PP", None)
+    if pp is not None:
+        env["AUTOGNOTHI_PP"] = str(pp)
+    last = None
+    for _ in range(2):
+        proc = subprocess.run([sys.executable, "-c", code], env=env,
+                              cwd=pathlib.Path(__file__).parent.parent,
+                              capture_output=True, text=True, timeout=900)
+        if proc.returncode == 0:
+            return
+        last = proc
+    raise AssertionError(
+        f"train_surrogate child failed twice (rc={last.returncode}):\n"
+        f"{last.stderr[-2000:]}")
+
+
 def test_pp_surrogate_matches_sequential(tmp_path, monkeypatch):
     """Surrogate stage under pp: the KL-distilled student (a full backbone
     copy) trains stage-sharded and must land on the sequential checkpoint.
-    The teacher rides its own (non-pipelined) executable in both runs."""
+    The teacher rides its own (non-pipelined) executable in both runs.
+    Training runs in child interpreters (_train_surrogate_subprocess) so
+    the known flaky XLA:CPU native abort cannot kill the suite."""
     from autognothi_tpu.pipeline.env import ExpEnv
     from autognothi_tpu.pipeline.train_all import conv_classifier_surrogate
-    from autognothi_tpu.pipeline.train_surrogate import train_surrogate
 
     hp = _vit_hparams(epochs=1)
     dirs = {}
     for name, pp in (("seq", None), ("pp", 2)):
         exp = _mk_exp(tmp_path, name, hp)
         _train(exp, monkeypatch, pp=None)  # identical sequential classifier
-        env = ExpEnv(exp)
-        conv_classifier_surrogate(env)
-        if pp is None:
-            monkeypatch.delenv("AUTOGNOTHI_PP", raising=False)
-        else:
-            monkeypatch.setenv("AUTOGNOTHI_PP", str(pp))
-        train_surrogate(env)
-        monkeypatch.delenv("AUTOGNOTHI_PP", raising=False)
+        conv_classifier_surrogate(ExpEnv(exp))
+        _train_surrogate_subprocess(exp, pp)
         dirs[name] = exp
 
     a = load_params_file(dirs["seq"] / "surrogate-epoch-1.ckpt")
